@@ -1,0 +1,65 @@
+"""Jittable token sampling: temperature, top-p (nucleus), repetition penalty.
+
+Reproduces the sampling semantics of reference dual_ar_stream.py:1081-1132
+(`sample` / `logits_to_probs`: rep-penalty -> top-p mask -> temperature ->
+softmax -> multinomial) as fully-traced JAX with no host sync — sort-based
+nucleus filtering plus an exponential-race multinomial (the same trick as the
+reference's `multinomial_sample_one_no_sync`, :1092-1096).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_repetition_penalty(
+    logits: jax.Array, previous_tokens: jax.Array, penalty: float
+) -> jax.Array:
+    """logits (V,), previous_tokens (P,) int32.  Scores of previously emitted
+    tokens are divided (if positive) or multiplied (if negative) by penalty."""
+    score = jnp.take(logits, previous_tokens)
+    score = jnp.where(score < 0, score * penalty, score / penalty)
+    return logits.at[previous_tokens].set(score)
+
+
+def top_p_mask(logits: jax.Array, top_p: float) -> jax.Array:
+    """Mask (set to -inf) all but the smallest prefix of descending-prob
+    tokens with cumulative probability <= top_p; always keeps the argmax."""
+    sorted_logits = jnp.sort(logits)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # threshold logit value: smallest kept logit
+    keep = cum - probs <= top_p  # keep token i if cumprob *before* it <= p
+    # note: reference keeps tokens while cumsum <= p and always position 0;
+    # "cum - probs <= p" is exactly cumsum_{j<i} <= p, matching
+    # sorted_indices_to_remove shifted right by one (dual_ar_stream.py:1120-1126)
+    kth = jnp.sum(keep, axis=-1) - 1
+    thresh = jnp.take_along_axis(sorted_logits, kth[..., None], axis=-1)[..., 0]
+    return jnp.where(logits < thresh, -jnp.inf, logits)
+
+
+def sample_token(
+    key: jax.Array,
+    logits: jax.Array,
+    *,
+    temperature: float = 0.7,
+    top_p: float = 0.7,
+    repetition_penalty: float = 1.0,
+    previous_tokens: Optional[jax.Array] = None,
+    greedy: bool = False,
+) -> jax.Array:
+    """Sample one token id (scalar int32) from logits (V,)."""
+    logits = logits.astype(jnp.float32)
+    if previous_tokens is not None and repetition_penalty != 1.0:
+        logits = apply_repetition_penalty(logits, previous_tokens, repetition_penalty)
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if top_p < 1.0:
+        logits = top_p_mask(logits, top_p)
+    logits = logits / jnp.maximum(temperature, 1e-5)
+    # exponential race == gumbel-max == multinomial, no host sync
+    g = jax.random.gumbel(key, logits.shape, jnp.float32)
+    return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
