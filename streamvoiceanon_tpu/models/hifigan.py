@@ -1,0 +1,91 @@
+"""Causal HiFiGAN generator head (channels-last, functional).
+
+Behavior matches reference modules/vqgan/modules/firefly.py:149-301:
+conv_pre (causal k=13) -> [silu -> FishTransConv up -> ParallelBlock] per
+stage -> silu -> conv_post -> tanh.  ParallelBlock averages three ResBlocks
+(k = 3, 7, 11); each ResBlock is 3x (silu -> dilated causal conv -> silu ->
+dilated causal conv) with residual, dilations (1, 3, 5) on *both* convs
+(firefly.py:140-190 — note convs2 is dilated too, unlike classic HiFiGAN).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from streamvoiceanon_tpu.config import HiFiGANConfig
+from streamvoiceanon_tpu.ops import conv as convops
+
+
+def _conv_init(key, k, cin, cout, std=0.02, dtype=jnp.float32):
+    w = jax.random.truncated_normal(key, -2, 2, (k, cin, cout), dtype) * std
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+def resblock_init(key, channels: int, kernel: int, dilations, dtype=jnp.float32) -> Dict:
+    keys = jax.random.split(key, 2 * len(dilations))
+    return {
+        "convs1": [
+            _conv_init(keys[2 * i], kernel, channels, channels, dtype=dtype)
+            for i in range(len(dilations))
+        ],
+        "convs2": [
+            _conv_init(keys[2 * i + 1], kernel, channels, channels, dtype=dtype)
+            for i in range(len(dilations))
+        ],
+    }
+
+
+def resblock_apply(p: Dict, x: jax.Array, dilations) -> jax.Array:
+    for c1, c2, d in zip(p["convs1"], p["convs2"], dilations):
+        h = jax.nn.silu(x)
+        h = convops.causal_conv1d(h, c1["w"], c1["b"], dilation=d)
+        h = jax.nn.silu(h)
+        h = convops.causal_conv1d(h, c2["w"], c2["b"], dilation=d)
+        x = x + h
+    return x
+
+
+def hifigan_init(key, cfg: HiFiGANConfig, dtype=jnp.float32) -> Dict:
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+    p: Dict = {
+        "conv_pre": _conv_init(
+            next(ki), cfg.pre_conv_kernel_size, cfg.num_mels,
+            cfg.upsample_initial_channel, dtype=dtype,
+        )
+    }
+    ch = cfg.upsample_initial_channel
+    p["ups"] = []
+    p["resblocks"] = []
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin = cfg.upsample_initial_channel // (2**i)
+        cout = cfg.upsample_initial_channel // (2 ** (i + 1))
+        p["ups"].append(_conv_init(next(ki), k, cin, cout, dtype=dtype))
+        p["resblocks"].append(
+            [
+                resblock_init(next(ki), cout, rk, rd, dtype=dtype)
+                for rk, rd in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ]
+        )
+        ch = cout
+    p["conv_post"] = _conv_init(next(ki), cfg.post_conv_kernel_size, ch, 1, dtype=dtype)
+    return p
+
+
+def hifigan_apply(p: Dict, cfg: HiFiGANConfig, x: jax.Array) -> jax.Array:
+    """x: (B, T, num_mels) -> waveform (B, T * hop_length) in [-1, 1]."""
+    x = convops.causal_conv1d(x, p["conv_pre"]["w"], p["conv_pre"]["b"])
+    for i, stride in enumerate(cfg.upsample_rates):
+        x = jax.nn.silu(x)
+        x = convops.fish_trans_conv1d(x, p["ups"][i]["w"], p["ups"][i]["b"], stride=stride)
+        branches = [
+            resblock_apply(rb, x, rd)
+            for rb, rd in zip(p["resblocks"][i], cfg.resblock_dilation_sizes)
+        ]
+        x = sum(branches) / len(branches)
+    x = jax.nn.silu(x)
+    x = convops.causal_conv1d(x, p["conv_post"]["w"], p["conv_post"]["b"])
+    return jnp.tanh(x)[..., 0]

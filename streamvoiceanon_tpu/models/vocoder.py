@@ -1,0 +1,111 @@
+"""Firefly codec (fish-speech 1.5 style): the acoustic tokenizer + vocoder.
+
+encode: wav @44.1 kHz -> log-mel(160) -> ConvNeXt backbone -> downsample x4
+        -> grouped-residual FSQ -> 8 codebooks of 1000 per 46.4 ms frame
+decode: codes -> FSQ output -> upsample x4 -> HiFiGAN -> wav
+
+Behavior matches reference modules/vqgan/modules/firefly.py:520-607 (encode
+:561-574, decode :576-595) and fsq.py:19-116; everything is channels-last and
+shape-static.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamvoiceanon_tpu.config import VocoderConfig
+from streamvoiceanon_tpu.models import convnext, hifigan
+from streamvoiceanon_tpu.ops import conv as convops
+from streamvoiceanon_tpu.ops import quantizers, stft
+
+
+def init(key, cfg: VocoderConfig, dtype=jnp.float32) -> Dict:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    nf = cfg.quantizer.downsample_factor
+    dims = cfg.quantizer.input_dim
+    down, up = [], []
+    dkeys = jax.random.split(k3, len(nf))
+    ukeys = jax.random.split(k4, len(nf))
+    for i, f in enumerate(nf):
+        down.append(
+            {
+                "conv": convnext._conv_init(dkeys[i], f, dims, dims, dtype=dtype),
+                "block": convnext.convnext_block_init(dkeys[i], dims, dtype=dtype),
+            }
+        )
+        up.append(
+            {
+                "conv": convnext._conv_init(ukeys[i], f, dims, dims, dtype=dtype),
+                "block": convnext.convnext_block_init(ukeys[i], dims, dtype=dtype),
+            }
+        )
+    return {
+        "backbone": convnext.convnext_encoder_init(k1, cfg.backbone, dtype),
+        "head": hifigan.hifigan_init(k2, cfg.head, dtype),
+        "downsample": down,
+        "upsample": up,
+        "fsq": quantizers.grouped_residual_fsq_init(
+            k5,
+            cfg.quantizer.input_dim,
+            cfg.quantizer.n_groups,
+            cfg.quantizer.levels,
+            cfg.quantizer.n_codebooks,
+            dtype,
+        ),
+    }
+
+
+def _downsample(p: Dict, x: jax.Array, factors) -> jax.Array:
+    for stage, f in zip(p, factors):
+        x = convops.causal_conv1d(x, stage["conv"]["w"], stage["conv"]["b"], stride=f)
+        x = convnext.convnext_block_apply(stage["block"], x)
+    return x
+
+
+def _upsample(p: Dict, x: jax.Array, factors) -> jax.Array:
+    # reference iterates reversed(enumerate(factors)) building the Sequential,
+    # so stage order at apply time is factors reversed (fsq.py:61-74)
+    for stage, f in zip(p, reversed(factors)):
+        x = convops.fish_trans_conv1d(x, stage["conv"]["w"], stage["conv"]["b"], stride=f)
+        x = convnext.convnext_block_apply(stage["block"], x)
+    return x
+
+
+def encode(params: Dict, cfg: VocoderConfig, wav: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """wav (B, T) -> (codes (B, n_codebooks, T//2048), quantized latents).
+
+    Equivalent of FireflyArchitecture.encode + DownsampleFSQ.encode for
+    full-length (unmasked) audio."""
+    mel = stft.log_mel_spectrogram(wav, cfg.mel)
+    feat = convnext.convnext_encoder_apply(params["backbone"], cfg.backbone, mel)
+    z = _downsample(params["downsample"], feat, cfg.quantizer.downsample_factor)
+    quantized, idx = quantizers.grouped_residual_fsq_encode(
+        params["fsq"], z, cfg.quantizer.n_groups, cfg.quantizer.levels,
+        cfg.quantizer.n_codebooks,
+    )
+    # idx: (B, T', groups * nq) -> (B, groups * nq, T') to match the
+    # reference's "b (g r) l" code layout (fsq.py:109)
+    return jnp.swapaxes(idx, 1, 2), quantized
+
+
+def decode_codes(params: Dict, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
+    """codes (B, n_codebooks, T') -> quantizer output (B, T' * 4, 512)
+    (fsq.py:112-116: get_output_from_indices + upsample)."""
+    idx = jnp.swapaxes(codes, 1, 2)
+    z = quantizers.grouped_residual_fsq_decode(
+        params["fsq"], idx, cfg.quantizer.n_groups, cfg.quantizer.levels,
+        cfg.quantizer.n_codebooks,
+    )
+    return _upsample(params["upsample"], z, cfg.quantizer.downsample_factor)
+
+
+def decode(params: Dict, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
+    """codes (B, n_codebooks, T') -> wav (B, T' * 2048).
+
+    Equivalent of `firefly.head(firefly.quantizer.decode(code))`
+    (infer_arvc.py:173-176 code2wav_fn)."""
+    z = decode_codes(params, cfg, codes)
+    return hifigan.hifigan_apply(params["head"], cfg.head, z)
