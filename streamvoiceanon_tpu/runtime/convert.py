@@ -36,7 +36,10 @@ def to_numpy(sd: Dict) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in sd.items():
         if hasattr(v, "detach"):
-            v = v.detach().cpu().numpy()
+            v = v.detach().cpu()
+            if str(v.dtype) == "torch.bfloat16":  # numpy has no bf16
+                v = v.float()
+            v = v.numpy()
         out[k] = np.asarray(v)
     return out
 
