@@ -1,0 +1,384 @@
+"""Dual-autoregressive token LM — the voice-conversion model proper.
+
+A slow transformer (12L, d768) consumes an interleaved stream of
+[speaker-condition prefix (33) | (content_t, audio_{t-delay}) pairs] and
+predicts the next semantic token plus a per-frame hidden state; a fast
+transformer (4L, d768) autoregresses over the 8 codec codebooks of each
+frame.  Behavior matches reference modules/dual_ar_stream.py (BaseTransformer
+:167-409, DualARTransformer :411-602, decode_one_token_ar :1168-1219).
+
+TPU-first design decisions:
+* layer parameters are stacked on a leading axis and the layer loop is a
+  single `lax.scan` — one compiled block instead of 12/4 unrolled layers;
+* KV caches are fixed-shape (L, B, H, S, D) arrays carried in a DecodeState
+  pytree; position bookkeeping is one scalar (the reference's input_pos and
+  kv_pos are always equal on the runtime path);
+* the whole frame step (2-token slow step + 8-step fast codebook loop +
+  sampling) is one jitted function with no host sync;
+* prefill takes a *padded* sequence plus valid_len so prompt length changes
+  do not trigger recompiles (garbage cache slots beyond valid_len are
+  provably overwritten before ever being attended).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamvoiceanon_tpu.config import DualARConfig, SamplingConfig
+from streamvoiceanon_tpu.ops.norm import rms_norm
+from streamvoiceanon_tpu.ops.rope import apply_rope, precompute_freqs_cis
+from streamvoiceanon_tpu.ops.sampling import sample_token
+
+
+# ---------------------------------------------------------------------------
+# Parameter plumbing
+# ---------------------------------------------------------------------------
+
+
+def stack_layers(layer_list) -> Dict:
+    """List of per-layer param dicts -> single dict of stacked arrays."""
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *layer_list)
+
+
+def prepare_params(raw: Dict) -> Dict:
+    """Converts runtime/convert.dual_ar output (lists of layers) into the
+    stacked-scan layout used by this module."""
+    p = dict(raw)
+    p["layers"] = stack_layers(raw["layers"])
+    p["fast_layers"] = stack_layers(raw["fast_layers"])
+    return jax.tree.map(jnp.asarray, p)
+
+
+def random_params(key, cfg: DualARConfig, dtype=jnp.float32) -> Dict:
+    """Random init with the reference's initializer_range=0.02 normal."""
+
+    def lin(k, i, o):
+        return {"w": jax.random.normal(k, (i, o), dtype) * 0.02}
+
+    def block(k, dim, n_head, n_local, head_dim, inter):
+        ks = jax.random.split(k, 5)
+        total = (n_head + 2 * n_local) * head_dim
+        return {
+            "wqkv": lin(ks[0], dim, total),
+            "wo": lin(ks[1], dim, dim),
+            "attention_norm": {"w": jnp.ones((dim,), dtype)},
+            "ffn_norm": {"w": jnp.ones((dim,), dtype)},
+            "w1": lin(ks[2], dim, inter),
+            "w3": lin(ks[3], dim, inter),
+            "w2": lin(ks[4], inter, dim),
+        }
+
+    keys = jax.random.split(key, 16)
+    p = {
+        "embeddings": jax.random.normal(keys[0], (cfg.vocab_size, cfg.dim), dtype) * 0.02,
+        "codebook_embeddings": jax.random.normal(
+            keys[1], (cfg.codebook_size * cfg.num_codebooks, cfg.dim), dtype
+        )
+        * 0.02,
+        "layers": [
+            block(k, cfg.dim, cfg.n_head, cfg.n_local_heads, cfg.head_dim,
+                  cfg.intermediate_size)
+            for k in jax.random.split(keys[2], cfg.n_layer)
+        ],
+        "norm": {"w": jnp.ones((cfg.dim,), dtype)},
+        "fast_embeddings": jax.random.normal(
+            keys[3], (cfg.codebook_size, cfg.fast_dim), dtype
+        )
+        * 0.02,
+        "fast_layers": [
+            block(k, cfg.fast_dim, cfg.fast_n_head, cfg.fast_n_local_heads,
+                  cfg.fast_head_dim, cfg.fast_intermediate_size)
+            for k in jax.random.split(keys[4], cfg.n_fast_layer)
+        ],
+        "fast_norm": {"w": jnp.ones((cfg.fast_dim,), dtype)},
+        "fast_output": lin(keys[5], cfg.fast_dim, cfg.codebook_size),
+    }
+    if not cfg.tie_word_embeddings:
+        p["output"] = lin(keys[6], cfg.dim, cfg.vocab_size)
+    return p
+
+
+def embed_codes(params: Dict, cfg: DualARConfig, codes: jax.Array) -> jax.Array:
+    """Sum of per-codebook embeddings (dual_ar_stream.py:245-255).
+
+    codes: (B, num_codebooks, T) int -> (B, T, dim)."""
+    offsets = jnp.arange(cfg.num_codebooks, dtype=codes.dtype) * cfg.codebook_size
+    shifted = codes + offsets[None, :, None]
+    emb = jnp.take(params["codebook_embeddings"], shifted, axis=0)  # (B, nq, T, D)
+    return jnp.sum(emb, axis=1)
+
+
+def embed_tokens(params: Dict, tokens: jax.Array) -> jax.Array:
+    """Semantic-token embedding (embeddings table)."""
+    return jnp.take(params["embeddings"], tokens, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Core attention layer (scanned over the stacked layer axis)
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(
+    lp: Dict,
+    x: jax.Array,
+    freqs: jax.Array,
+    mask: jax.Array,
+    kv: Optional[Tuple[jax.Array, jax.Array]],
+    pos: Optional[jax.Array],
+    n_head: int,
+    n_local: int,
+    head_dim: int,
+    norm_eps: float,
+):
+    """One transformer block.  If kv is given, k/v are written at `pos` into
+    the cache and attention runs over the full cache length."""
+    B, T, dim = x.shape
+    h = rms_norm(x, lp["attention_norm"]["w"], norm_eps)
+    qkv = h @ lp["wqkv"]["w"]
+    q, k, v = jnp.split(qkv, [n_head * head_dim, (n_head + n_local) * head_dim], axis=-1)
+    q = apply_rope(q.reshape(B, T, n_head, head_dim), freqs)
+    k = apply_rope(k.reshape(B, T, n_local, head_dim), freqs)
+    v = v.reshape(B, T, n_local, head_dim)
+    q = jnp.swapaxes(q, 1, 2)  # (B, H, T, D)
+    k = jnp.swapaxes(k, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+
+    if kv is not None:
+        k_cache, v_cache = kv
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0)
+        )
+        k_all, v_all = k_cache.astype(x.dtype), v_cache.astype(x.dtype)
+        new_kv = (k_cache, v_cache)
+    else:
+        k_all, v_all = k, v
+        new_kv = None
+
+    if n_local != n_head:
+        rep = n_head // n_local
+        k_all = jnp.repeat(k_all, rep, axis=1)
+        v_all = jnp.repeat(v_all, rep, axis=1)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_all, preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(head_dim)
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bqhd", w, v_all).reshape(B, T, n_head * head_dim)
+    x = x + out @ lp["wo"]["w"]
+
+    f = rms_norm(x, lp["ffn_norm"]["w"], norm_eps)
+    f = (jax.nn.silu(f @ lp["w1"]["w"]) * (f @ lp["w3"]["w"])) @ lp["w2"]["w"]
+    return x + f, new_kv
+
+
+def _run_layers(
+    stacked: Dict,
+    x: jax.Array,
+    freqs: jax.Array,
+    mask: jax.Array,
+    caches: Optional[Tuple[jax.Array, jax.Array]],
+    pos: Optional[jax.Array],
+    n_head: int,
+    n_local: int,
+    head_dim: int,
+    norm_eps: float,
+):
+    """lax.scan over stacked layers, threading x and the per-layer caches."""
+
+    def body(carry, inp):
+        h = carry
+        lp, kv = inp
+        h, new_kv = _attn_block(
+            lp, h, freqs, mask, kv, pos, n_head, n_local, head_dim, norm_eps
+        )
+        return h, new_kv
+
+    if caches is not None:
+        x, new_caches = jax.lax.scan(
+            lambda c, i: body(c, (i[0], (i[1], i[2]))),
+            x,
+            (stacked, caches[0], caches[1]),
+        )
+        return x, (new_caches[0], new_caches[1])
+    x, _ = jax.lax.scan(lambda c, lp: (body(c, (lp, None))[0], None), x, stacked)
+    return x, None
+
+
+# ---------------------------------------------------------------------------
+# Decode state
+# ---------------------------------------------------------------------------
+
+
+class DecodeState(NamedTuple):
+    k_cache: jax.Array  # (L, B, H, S, D)
+    v_cache: jax.Array
+    pos: jax.Array  # scalar int32: next cache slot to write
+
+
+def init_state(
+    cfg: DualARConfig, batch: int = 1, cache_dtype=jnp.bfloat16
+) -> DecodeState:
+    shape = (cfg.n_layer, batch, cfg.n_local_heads, cfg.max_seq_len, cfg.head_dim)
+    return DecodeState(
+        jnp.zeros(shape, cache_dtype),
+        jnp.zeros(shape, cache_dtype),
+        jnp.int32(0),
+    )
+
+
+def _freqs(cfg: DualARConfig) -> jax.Array:
+    return jnp.asarray(
+        precompute_freqs_cis(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    params: Dict,
+    cfg: DualARConfig,
+    state: DecodeState,
+    emb_seq: jax.Array,
+    valid_len: jax.Array,
+) -> Tuple[DecodeState, jax.Array]:
+    """Run `emb_seq` (B, L_pad, dim) through the slow stack, filling the KV
+    cache from state.pos; positions >= valid_len are padding (masked out of
+    attention; their cache slots are overwritten by later decode steps before
+    ever being attended).  Returns (state', hidden of last valid token).
+
+    Matches decode_one_token_ar's prefill usage (dual_ar_stream.py:787-790)
+    with pos starting at state.pos (0 for a fresh prompt)."""
+    B, L, _ = emb_seq.shape
+    start = state.pos
+    positions = start + jnp.arange(L)
+    freqs = jnp.take(_freqs(cfg), positions, axis=0)
+    # rows attend cache cols <= their absolute position AND < start+valid_len
+    col = jnp.arange(cfg.max_seq_len)[None, :]
+    mask = (col <= positions[:, None]) & (col < start + valid_len)
+    x, caches = _run_layers(
+        params["layers"], emb_seq, freqs, mask, (state.k_cache, state.v_cache),
+        start, cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
+    )
+    last_hidden = jnp.take_along_axis(
+        x, (valid_len - 1)[None, None, None].astype(jnp.int32) * jnp.ones((B, 1, 1), jnp.int32), axis=1
+    )
+    new_state = DecodeState(caches[0], caches[1], start + valid_len)
+    return new_state, last_hidden
+
+
+# ---------------------------------------------------------------------------
+# Fast codebook loop
+# ---------------------------------------------------------------------------
+
+
+def _fast_decode(
+    params: Dict,
+    cfg: DualARConfig,
+    hidden: jax.Array,  # (B, 1, fast_dim) projected latent
+    key: jax.Array,
+    sampling: SamplingConfig,
+) -> jax.Array:
+    """8-step autoregressive codebook sampling with a fresh fast KV cache
+    (decode_one_token_ar zeroes it every frame, dual_ar_stream.py:1197-1205).
+    Returns codes (B, num_codebooks) int32."""
+    B = hidden.shape[0]
+    nq = cfg.num_codebooks
+    shape = (cfg.n_fast_layer, B, cfg.fast_n_local_heads, nq, cfg.fast_head_dim)
+    fast_freqs_all = jnp.asarray(
+        precompute_freqs_cis(nq, cfg.fast_head_dim, cfg.rope_base)
+    )
+    col = jnp.arange(nq)[None, :]
+
+    def step(carry, inp):
+        x, kc, vc, pos = carry
+        k = inp
+        freqs = jax.lax.dynamic_slice_in_dim(fast_freqs_all, pos, 1, axis=0)
+        mask = col <= pos
+        y, (kc, vc) = _run_layers(
+            params["fast_layers"], x, freqs, mask, (kc, vc), pos,
+            cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim, cfg.norm_eps,
+        )
+        y = rms_norm(y, params["fast_norm"]["w"], cfg.norm_eps)
+        logits = (y @ params["fast_output"]["w"])[:, -1]  # (B, V)
+        code = jax.vmap(
+            lambda kk, lg: sample_token(
+                kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
+                greedy=sampling.greedy,
+            )
+        )(jax.random.split(k, B), logits)
+        next_x = jnp.take(params["fast_embeddings"], code, axis=0)[:, None]
+        return (next_x, kc, vc, pos + 1), code
+
+    init = (
+        hidden,
+        jnp.zeros(shape, hidden.dtype),
+        jnp.zeros(shape, hidden.dtype),
+        jnp.int32(0),
+    )
+    _, codes = jax.lax.scan(step, init, jax.random.split(key, nq))
+    return jnp.swapaxes(codes, 0, 1)  # (B, nq)
+
+
+def _project_fast(params: Dict, hidden: jax.Array) -> jax.Array:
+    if "fast_project_in" in params:
+        return hidden @ params["fast_project_in"]["w"] + params["fast_project_in"].get("b", 0.0)
+    return hidden
+
+
+def _token_logits(params: Dict, cfg: DualARConfig, hidden: jax.Array) -> jax.Array:
+    h = rms_norm(hidden, params["norm"]["w"], cfg.norm_eps)
+    if cfg.tie_word_embeddings:
+        return h @ params["embeddings"].T
+    return h @ params["output"]["w"] + params["output"].get("b", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# The frame decode step (the hot loop)
+# ---------------------------------------------------------------------------
+
+
+def decode_frame(
+    params: Dict,
+    cfg: DualARConfig,
+    state: DecodeState,
+    emb2: jax.Array,  # (B, 2, dim): [new_audio_emb, new_cond_emb]
+    key: jax.Array,
+    sampling: SamplingConfig,
+) -> Tuple[DecodeState, jax.Array, jax.Array]:
+    """One 2-token slow step + fast codebook loop.
+
+    Returns (state', semantic_token (B,), codes (B, num_codebooks)).
+    Equivalent to decode_one_token_ar on a 2-token window
+    (dual_ar_stream.py:1168-1219)."""
+    B = emb2.shape[0]
+    positions = state.pos + jnp.arange(2)
+    freqs = jnp.take(_freqs(cfg), positions, axis=0)
+    col = jnp.arange(cfg.max_seq_len)[None, :]
+    mask = col <= positions[:, None]
+    x, caches = _run_layers(
+        params["layers"], emb2, freqs, mask, (state.k_cache, state.v_cache),
+        state.pos, cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
+    )
+    last = x[:, -1:]
+    logits = _token_logits(params, cfg, last)[:, -1]  # (B, vocab)
+    k_sem, k_fast = jax.random.split(key)
+    semantic = jax.vmap(
+        lambda kk, lg: sample_token(
+            kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
+            greedy=sampling.greedy,
+        )
+    )(jax.random.split(k_sem, B), logits)
+    hidden = _project_fast(params, last)
+    codes = _fast_decode(params, cfg, hidden, k_fast, sampling)
+    new_state = DecodeState(caches[0], caches[1], state.pos + 2)
+    return new_state, semantic, codes
