@@ -86,20 +86,23 @@ def mel_filterbank(
 
 @functools.lru_cache(maxsize=8)
 def _dft_kernel(n_fft: int, win_length: int) -> np.ndarray:
-    """Windowed real-DFT as a conv kernel of shape (win, 1, 2*n_bins).
+    """Windowed real-DFT as a conv kernel of shape (n_fft, 1, 2*n_bins).
 
     Output channels are [real_0..real_{K-1}, imag_0..imag_{K-1}] where
-    K = n_fft//2 + 1.  Window is fused into the kernel.
+    K = n_fft//2 + 1.  The window (center-padded to n_fft when win_length <
+    n_fft, as torch.stft does) is fused into the kernel.
     """
     n_bins = n_fft // 2 + 1
-    n = np.arange(win_length)[:, None]
+    n = np.arange(n_fft)[:, None]
     k = np.arange(n_bins)[None, :]
     ang = 2.0 * np.pi * n * k / n_fft
-    win = hann_window(win_length)[:, None]
+    win = hann_window(win_length)
+    lpad = (n_fft - win_length) // 2
+    win = np.pad(win, (lpad, n_fft - win_length - lpad))[:, None]
     real = (np.cos(ang) * win).astype(np.float32)
     imag = (-np.sin(ang) * win).astype(np.float32)
-    kern = np.concatenate([real, imag], axis=1)  # (win, 2*n_bins)
-    return kern[:, None, :]  # (win, 1, 2*n_bins)
+    kern = np.concatenate([real, imag], axis=1)  # (n_fft, 2*n_bins)
+    return kern[:, None, :]  # (n_fft, 1, 2*n_bins)
 
 
 @functools.lru_cache(maxsize=8)
@@ -110,12 +113,14 @@ def _mel_matrix(cfg: MelConfig) -> np.ndarray:
 
 
 def linear_spectrogram(
-    wav: jax.Array, cfg: MelConfig, *, causal_pad: bool = True
+    wav: jax.Array, cfg: MelConfig, *, causal_pad: bool = True, center: bool = False
 ) -> jax.Array:
     """Magnitude spectrogram of shape (B, frames, n_bins).
 
     `causal_pad` left-pads `win - hop` zeros (spectrogram.py:38-45); with it,
-    frames = T // hop for T a multiple of hop.
+    frames = T // hop for T a multiple of hop.  `center` instead reflect-pads
+    n_fft//2 on both sides (torch.stft center=True semantics, used by the
+    SparkTTS speaker-encoder mel front end).
     """
     if wav.ndim == 1:
         wav = wav[None]
@@ -125,8 +130,12 @@ def linear_spectrogram(
             "mix multi-channel audio down to mono first"
         )
     x = wav.astype(jnp.float32)
+    if causal_pad and center:
+        raise ValueError("causal_pad and center are mutually exclusive")
     if causal_pad:
         x = jnp.pad(x, ((0, 0), (cfg.win_length - cfg.hop_length, 0)))
+    elif center:
+        x = jnp.pad(x, ((0, 0), (cfg.n_fft // 2, cfg.n_fft // 2)), mode="reflect")
     kern = jnp.asarray(_dft_kernel(cfg.n_fft, cfg.win_length))
     spec = jax.lax.conv_general_dilated(
         x[:, :, None],
@@ -138,7 +147,17 @@ def linear_spectrogram(
     )  # (B, frames, 2*n_bins)
     n_bins = cfg.n_fft // 2 + 1
     re, im = spec[..., :n_bins], spec[..., n_bins:]
-    return jnp.sqrt(re * re + im * im + 1e-6)
+    eps = 1e-6 if causal_pad else 0.0  # pow2_sqrt mode adds 1e-6 (spectrogram.py:63)
+    return jnp.sqrt(re * re + im * im + eps)
+
+
+def mel_spectrogram_center(wav: jax.Array, cfg: MelConfig) -> jax.Array:
+    """torchaudio.transforms.MelSpectrogram(power=1, norm/mel_scale=slaney,
+    center=True) equivalent — the SparkTTS speaker-encoder front end
+    (configs/hydra_arcs/sv/sparktts_speaker_encoder.yaml).  (B, frames, n_mels)."""
+    spec = linear_spectrogram(wav, cfg, causal_pad=False, center=True)
+    fb = jnp.asarray(_mel_matrix(cfg))
+    return jnp.einsum("btf,fm->btm", spec, fb, preferred_element_type=jnp.float32)
 
 
 def log_mel_spectrogram(
