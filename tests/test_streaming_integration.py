@@ -1,0 +1,113 @@
+"""End-to-end streaming runtime tests on a tiny random-weight pipeline:
+streaming output must agree with the offline pipeline (the reference's
+implicit contract, SURVEY.md §4) and prompt refill must keep running."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from streamvoiceanon_tpu.config import SamplingConfig, StreamConfig, replace
+from streamvoiceanon_tpu.models import arvc
+from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+import tinymodels
+
+SPF = 2048
+GREEDY = SamplingConfig(greedy=True)
+
+
+@pytest.fixture(scope="module")
+def cv():
+    return tinymodels.tiny_converter()
+
+
+def _rand_wav(rng, frames):
+    return (rng.standard_normal(frames * SPF) * 0.1).astype(np.float32)
+
+
+def test_stream_matches_offline_lm_codes(cv, rng):
+    """With an encoder window covering the whole (zero-prefixed) signal and
+    no refill, streaming LM codes must equal offline generate on the same
+    token sequence."""
+    delay, W, Ls, Tr = 2, 32, 12, 6
+    ref_wav = _rand_wav(rng, Tr)
+    src_wav = _rand_wav(rng, Ls)
+
+    ref_tokens = cv.content_tokens(jnp.asarray(ref_wav)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref_wav)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+
+    # offline tokens of the zero-prefixed source (what the rolling window sees)
+    padded_src = np.concatenate([np.zeros((W - Ls) * SPF, np.float32), src_wav])
+    src_tokens = cv.content_tokens(jnp.asarray(padded_src)[None])[:, -Ls:]
+
+    offline_codes = arvc.generate(
+        cv.arvc_params, cv.cfg.arvc, ref_tokens, ref_codes, src_tokens,
+        style, timbre, jax.random.PRNGKey(0), GREEDY, delay,
+    )  # (1, 8, Ls)
+
+    scfg = StreamConfig(
+        encode_window_frames=W, decode_window_frames=16, max_prompt_frames=64,
+        max_seq_frames=10_000, buffer_frames=4, decode_chunk_frames=1, delay=delay,
+    )
+    sess = StreamSession(
+        cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+        style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+    )
+    stream_codes = []
+    for i in range(Ls):
+        out = sess.process_chunk(src_wav[i * SPF : (i + 1) * SPF])
+        assert out.shape == (SPF,)
+        if sess.frames_decoded > len(stream_codes):
+            stream_codes.append(np.asarray(sess.code_window[:, :, -1]))
+
+    # streaming decodes frames delay..Ls-1 of the offline sequence:
+    # offline frame f is produced after consuming source condition f+? —
+    # both consume conditions in the same order, so compare aligned frames.
+    got = np.stack(stream_codes, axis=-1)  # (1, 8, Ls - delay)
+    want = np.asarray(offline_codes)[:, :, : got.shape[-1]]
+    match = (got == want).mean()
+    assert match == 1.0, f"stream/offline code match {match}"
+
+
+def test_stream_wav_matches_offline_tail(cv, rng):
+    """Past the vocoder receptive field, windowed vocoding must reproduce the
+    full decode exactly (same codes -> same samples)."""
+    codes = jnp.asarray(rng.integers(0, 1000, (1, 8, 24)).astype(np.int32))
+    from streamvoiceanon_tpu.models import vocoder
+
+    full = np.asarray(vocoder.decode(cv.vocoder_params, cv.cfg.vocoder, codes))
+    win = np.asarray(vocoder.decode(cv.vocoder_params, cv.cfg.vocoder, codes[:, :, -16:]))
+    np.testing.assert_allclose(
+        full[:, -2 * SPF :], win[:, -2 * SPF :], atol=1e-4
+    )
+
+
+def test_stream_refill_keeps_running(cv, rng):
+    """Force max_seq_frames low enough that refill triggers mid-stream and
+    check the session keeps producing finite audio (infer_arvc.py:547-564)."""
+    delay, Ls, Tr = 1, 14, 4
+    ref_wav = _rand_wav(rng, Tr)
+    src_wav = _rand_wav(rng, Ls)
+    ref_tokens = cv.content_tokens(jnp.asarray(ref_wav)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref_wav)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+
+    scfg = StreamConfig(
+        encode_window_frames=16, decode_window_frames=8, max_prompt_frames=8,
+        max_seq_frames=30, buffer_frames=2, decode_chunk_frames=1, delay=delay,
+    )
+    sess = StreamSession(
+        cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+        style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+    )
+    pos_before = sess.state.decode.pos
+    outs = [sess.process_chunk(src_wav[i * SPF : (i + 1) * SPF]) for i in range(Ls)]
+    assert int(sess.state.decode.pos) < int(pos_before) + 2 * Ls + 100
+    out = np.concatenate(outs)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.0
