@@ -1,0 +1,122 @@
+"""Streaming voice-conversion benchmark (real hardware).
+
+Measures the per-chunk latency of the full-size streaming pipeline at
+decode_chunk_frames=1 — the reference's real-time operating point
+(infer_arvc.py:492-596: rolling-window content encode + one 2-token AR frame
+step + 64-frame vocoder window) — and reports RTF against the 46.44 ms frame
+budget.  Prints ONE JSON line on stdout.
+
+vs_baseline: the reference needs torch.compile to reach RTF < 1.0 on a
+consumer GPU (README.md:53-59); vs_baseline = 1.0 / RTF_measured.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig
+from streamvoiceanon_tpu.models import arvc, dual_ar, tokenizer, vocoder
+from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+FRAME_SECONDS = 2048 / 44100
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_converter(key, lm_dtype=jnp.bfloat16) -> VoiceConverter:
+    cfg = PipelineConfig()
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    d = cfg.arvc.decoder
+    arvc_params = {
+        "embedding": jax.random.normal(k3, (d.vocab_size, d.dim), lm_dtype) * 0.02,
+        "context_in": {
+            "w": jax.random.normal(k4, (cfg.arvc.context_dim, d.dim), lm_dtype) * 0.02,
+            "b": jnp.zeros((d.dim,), lm_dtype),
+        },
+        "style_in": {
+            "w": jax.random.normal(k5, (cfg.arvc.style_dim, d.dim), lm_dtype) * 0.02,
+            "b": jnp.zeros((d.dim,), lm_dtype),
+        },
+        "model": dual_ar.prepare_params(dual_ar.random_params(k3, d, lm_dtype)),
+        "wait4start": jax.random.normal(k4, (8, d.dim), lm_dtype) * 0.02,
+        "wait4end": jax.random.normal(k5, (8, d.dim), lm_dtype) * 0.02,
+    }
+    return VoiceConverter(
+        cfg=cfg,
+        tokenizer_params=tokenizer.init(k1, cfg.tokenizer),
+        vocoder_params=vocoder.init(k2, cfg.vocoder),
+        arvc_params=arvc_params,
+    )
+
+
+def main():
+    t0 = time.time()
+    log(f"devices: {jax.devices()}")
+    key = jax.random.PRNGKey(0)
+    cv = build_converter(key)
+    log(f"model build: {time.time()-t0:.1f}s")
+
+    cfg = cv.cfg
+    spf = cfg.samples_per_frame
+    rng = np.random.default_rng(0)
+    ref_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+    src_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+
+    ref_tokens = cv.content_tokens(jnp.asarray(ref_wav)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref_wav)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32), jnp.bfloat16)
+    timbre = jnp.asarray(
+        rng.standard_normal((1, 32, 128)).astype(np.float32), jnp.bfloat16
+    )
+
+    t0 = time.time()
+    sess = StreamSession(
+        cv, cfg.stream, key=jax.random.PRNGKey(1),
+        sampling=SamplingConfig(),
+        style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+    )
+    log(f"prompt prefill: {time.time()-t0:.1f}s")
+
+    # warm-up: compile all chunk phases (delay fill, delay prefill, decode)
+    t0 = time.time()
+    n_warm = cfg.stream.delay + 3
+    for i in range(n_warm):
+        sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
+    log(f"warm-up ({n_warm} chunks incl. compile): {time.time()-t0:.1f}s")
+
+    times = []
+    n_bench = 50
+    for i in range(n_warm, n_warm + n_bench):
+        t0 = time.perf_counter()
+        out = sess.process_chunk(src_wav[(i % 60) * spf : (i % 60 + 1) * spf])
+        np.asarray(out)  # host sync
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    p50 = float(np.median(times))
+    p90 = float(np.quantile(times, 0.9))
+    rtf = p50 / FRAME_SECONDS
+    log(
+        f"chunk latency p50={p50*1e3:.2f}ms p90={p90*1e3:.2f}ms "
+        f"RTF={rtf:.3f} (budget {FRAME_SECONDS*1e3:.1f}ms)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_rtf_chunk1",
+                "value": round(rtf, 4),
+                "unit": "ratio (chunk_latency / 46.44ms frame)",
+                "vs_baseline": round(1.0 / rtf, 2) if rtf > 0 else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,32 @@ def generate(
 
 
 # ---------------------------------------------------------------------------
+# Training forward
+# ---------------------------------------------------------------------------
+
+
+def forward_train(
+    params: Dict,
+    cfg: ARVCConfig,
+    content_tokens: jax.Array,  # (B, T) int
+    base_target: jax.Array,  # (B, T) int semantic targets
+    target: jax.Array,  # (B, nq, T) int codebook targets
+    x_lens: jax.Array,  # (B,)
+    style_vec: jax.Array,
+    timbre: jax.Array,
+    delay: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Training losses (codebook CE, semantic CE) — ARVCWrapper.forward
+    (arvc_wrapper.py:49-66).  `delay` is drawn by the trainer per batch."""
+    condition = embed_content(params, content_tokens)
+    spk = spk_condition(params, style_vec, timbre)
+    return dual_ar.forward_train(
+        params["model"], cfg.decoder, condition, spk, base_target, target,
+        x_lens, params["wait4start"], params["wait4end"], delay,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming programs
 # ---------------------------------------------------------------------------
 

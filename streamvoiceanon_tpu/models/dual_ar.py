@@ -343,6 +343,102 @@ def _token_logits(params: Dict, cfg: DualARConfig, hidden: jax.Array) -> jax.Arr
 
 
 # ---------------------------------------------------------------------------
+# Training forward
+# ---------------------------------------------------------------------------
+
+
+def forward_train(
+    params: Dict,
+    cfg: DualARConfig,
+    condition: jax.Array,  # (B, T, dim) embedded content conditions
+    spk_condition: jax.Array,  # (B, S, dim)
+    base_target: jax.Array,  # (B, T) int semantic targets
+    target: jax.Array,  # (B, nq, T) int codebook targets
+    x_lens: jax.Array,  # (B,) valid frames per sample
+    wait4start: jax.Array,  # (max_delay, dim)
+    wait4end: jax.Array,
+    delay: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Training losses (codebook CE, semantic-token CE).
+
+    Fixed-shape re-expression of DualARWrapper.forward + DualARTransformer
+    .forward (dual_ar_stream.py:639-676, 477-538): per-sample interleaved
+    stream [spk | (cond_t, audio_{t-delay})] with wait4start/wait4end pads,
+    causal slow stack (no padding mask, as the reference), token targets at
+    stride-2 offsets, teacher-forced fast stack over the 8 codebooks of every
+    frame.  Padding frames are masked out of both losses."""
+    B, T, D = condition.shape
+    S = spk_condition.shape[1]
+    nq = cfg.num_codebooks
+    Tm = T + delay
+    t_idx = jnp.arange(Tm)
+
+    x_emb = embed_codes(params, cfg, target)  # (B, T, D)
+
+    # cond stream: condition[t] for t < len, wait4end[t - len] after
+    w4e_idx = jnp.clip(t_idx[None, :] - x_lens[:, None], 0, max(delay - 1, 0))
+    cond_pad = jnp.pad(condition, ((0, 0), (0, delay), (0, 0)))
+    cond_stream = jnp.where(
+        (t_idx[None, :] < x_lens[:, None])[..., None],
+        cond_pad[:, :Tm],
+        wait4end[w4e_idx] if delay > 0 else jnp.zeros((B, Tm, D)),
+    )
+    # audio stream: wait4start[t] for t < delay, x_emb[t - delay] after
+    audio_shift = jnp.pad(x_emb, ((0, 0), (delay, 0), (0, 0)))[:, :Tm]
+    if delay > 0:
+        w4s_part = jnp.pad(wait4start[:delay], ((0, Tm - delay), (0, 0)))
+        audio_stream = jnp.where(
+            (t_idx < delay)[None, :, None], w4s_part[None], audio_shift
+        )
+    else:
+        audio_stream = audio_shift
+
+    inter = jnp.stack([cond_stream, audio_stream], axis=2).reshape(B, 2 * Tm, D)
+    emb_seq = jnp.concatenate([spk_condition, inter], axis=1)  # (B, L, D)
+    L = emb_seq.shape[1]
+
+    freqs = jnp.asarray(precompute_freqs_cis(L, cfg.head_dim, cfg.rope_base))
+    col = jnp.arange(L)[None, :]
+    mask = col <= jnp.arange(L)[:, None]
+    x, _ = _run_layers(
+        params["layers"], emb_seq, freqs, mask, None, None,
+        cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
+    )
+    token_logits = _token_logits(params, cfg, x)  # (B, L, vocab)
+
+    # semantic-token CE at positions S + 2*(delay + f), f in [0, x_len)
+    frame_pos = S + 2 * delay + 2 * jnp.arange(T)  # (T,)
+    frame_logits = jnp.take(token_logits, frame_pos, axis=1)  # (B, T, vocab)
+    valid = (jnp.arange(T)[None, :] < x_lens[:, None]).astype(jnp.float32)
+    logz = jax.nn.logsumexp(frame_logits.astype(jnp.float32), axis=-1)
+    tgt_logit = jnp.take_along_axis(
+        frame_logits.astype(jnp.float32), base_target[..., None], axis=-1
+    )[..., 0]
+    token_loss = jnp.sum((logz - tgt_logit) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    # fast stack: teacher-forced codebook prediction per frame
+    latents = jnp.take(x, frame_pos, axis=1)  # (B, T, D)
+    latents = _project_fast(params, latents)
+    cb = jnp.swapaxes(target, 1, 2)  # (B, T, nq)
+    cb_emb = jnp.take(params["fast_embeddings"], cb[..., :-1], axis=0)  # (B,T,nq-1,D)
+    fast_in = jnp.concatenate([latents[:, :, None], cb_emb], axis=2)  # (B,T,nq,D)
+    fast_in = fast_in.reshape(B * T, nq, cfg.fast_dim)
+    fast_freqs = jnp.asarray(precompute_freqs_cis(nq, cfg.fast_head_dim, cfg.rope_base))
+    fmask = jnp.arange(nq)[None, :] <= jnp.arange(nq)[:, None]
+    h, _ = _run_layers(
+        params["fast_layers"], fast_in, fast_freqs, fmask, None, None,
+        cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim, cfg.norm_eps,
+    )
+    h = rms_norm(h, params["fast_norm"]["w"], cfg.norm_eps)
+    cb_logits = (h @ params["fast_output"]["w"]).reshape(B, T, nq, cfg.codebook_size)
+    logz = jax.nn.logsumexp(cb_logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.take_along_axis(cb_logits.astype(jnp.float32), cb[..., None], axis=-1)[..., 0]
+    cb_ce = (logz - tgt) * valid[..., None]
+    codebook_loss = jnp.sum(cb_ce) / jnp.maximum(jnp.sum(valid) * nq, 1.0)
+    return codebook_loss, token_loss
+
+
+# ---------------------------------------------------------------------------
 # The frame decode step (the hot loop)
 # ---------------------------------------------------------------------------
 
