@@ -31,7 +31,23 @@ def log(*a):
 
 
 def build_converter(key, lm_dtype=jnp.bfloat16) -> VoiceConverter:
+    """Build random full-size params ON THE HOST CPU (a single device_put per
+    tree beats hundreds of tiny RNG dispatches through the TPU tunnel), then
+    transfer to the default device."""
     cfg = PipelineConfig()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cv = _build_converter_on_default_device(key, cfg, lm_dtype)
+    dev = jax.devices()[0]
+    return VoiceConverter(
+        cfg=cfg,
+        tokenizer_params=jax.device_put(cv.tokenizer_params, dev),
+        vocoder_params=jax.device_put(cv.vocoder_params, dev),
+        arvc_params=jax.device_put(cv.arvc_params, dev),
+    )
+
+
+def _build_converter_on_default_device(key, cfg, lm_dtype) -> VoiceConverter:
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     d = cfg.arvc.decoder
     arvc_params = {
@@ -61,7 +77,7 @@ def main():
     log(f"devices: {jax.devices()}")
     key = jax.random.PRNGKey(0)
     cv = build_converter(key)
-    log(f"model build: {time.time()-t0:.1f}s")
+    log(f"model build+transfer: {time.time()-t0:.1f}s")
 
     cfg = cv.cfg
     spf = cfg.samples_per_frame
