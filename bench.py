@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig
-from streamvoiceanon_tpu.models import arvc, dual_ar, tokenizer, vocoder
 from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
 from streamvoiceanon_tpu.runtime.streaming import StreamSession
 
@@ -31,44 +30,22 @@ def log(*a):
 
 
 def build_converter(key, lm_dtype=jnp.bfloat16) -> VoiceConverter:
-    """Build random full-size params ON THE HOST CPU (a single device_put per
-    tree beats hundreds of tiny RNG dispatches through the TPU tunnel), then
-    transfer to the default device."""
+    """Random full-size params built host-side with numpy (one device_put per
+    tree beats hundreds of tiny RNG dispatches through the TPU tunnel)."""
+    import numpy as _np
+
+    from streamvoiceanon_tpu.utils import randparams as rp
+
     cfg = PipelineConfig()
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        cv = _build_converter_on_default_device(key, cfg, lm_dtype)
+    np_lm = _np.dtype("float32") if lm_dtype == jnp.float32 else jnp.bfloat16
     dev = jax.devices()[0]
     return VoiceConverter(
         cfg=cfg,
-        tokenizer_params=jax.device_put(cv.tokenizer_params, dev),
-        vocoder_params=jax.device_put(cv.vocoder_params, dev),
-        arvc_params=jax.device_put(cv.arvc_params, dev),
-    )
-
-
-def _build_converter_on_default_device(key, cfg, lm_dtype) -> VoiceConverter:
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    d = cfg.arvc.decoder
-    arvc_params = {
-        "embedding": jax.random.normal(k3, (d.vocab_size, d.dim), lm_dtype) * 0.02,
-        "context_in": {
-            "w": jax.random.normal(k4, (cfg.arvc.context_dim, d.dim), lm_dtype) * 0.02,
-            "b": jnp.zeros((d.dim,), lm_dtype),
-        },
-        "style_in": {
-            "w": jax.random.normal(k5, (cfg.arvc.style_dim, d.dim), lm_dtype) * 0.02,
-            "b": jnp.zeros((d.dim,), lm_dtype),
-        },
-        "model": dual_ar.prepare_params(dual_ar.random_params(k3, d, lm_dtype)),
-        "wait4start": jax.random.normal(k4, (8, d.dim), lm_dtype) * 0.02,
-        "wait4end": jax.random.normal(k5, (8, d.dim), lm_dtype) * 0.02,
-    }
-    return VoiceConverter(
-        cfg=cfg,
-        tokenizer_params=tokenizer.init(k1, cfg.tokenizer),
-        vocoder_params=vocoder.init(k2, cfg.vocoder),
-        arvc_params=arvc_params,
+        tokenizer_params=jax.device_put(rp.tokenizer_params_np(cfg.tokenizer, 1), dev),
+        vocoder_params=jax.device_put(rp.vocoder_params_np(cfg.vocoder, 2), dev),
+        arvc_params=jax.device_put(
+            jax.tree.map(jnp.asarray, rp.arvc_params_np(cfg.arvc, 3, np_lm)), dev
+        ),
     )
 
 
@@ -106,6 +83,30 @@ def main():
     for i in range(n_warm):
         sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
     log(f"warm-up ({n_warm} chunks incl. compile): {time.time()-t0:.1f}s")
+
+    # per-stage timing (CUDA-event equivalent of infer_arvc.py:498-596)
+    from streamvoiceanon_tpu.runtime import streaming as st
+
+    stage_times = {"encode": [], "ar": [], "vocoder": []}
+    for _ in range(10):
+        t0 = time.perf_counter()
+        toks = st._encode_window(cv.tokenizer_params, cfg, sess.wav_window)
+        jax.block_until_ready(toks)
+        stage_times["encode"].append(time.perf_counter() - t0)
+        sess.key, sub = jax.random.split(sess.key)
+        t0 = time.perf_counter()
+        state2, codes_k = st._decode_frames(
+            cv.arvc_params, cfg, sess.state, toks[:, -1:], sub, sess.sampling, 1
+        )
+        jax.block_until_ready(codes_k)
+        stage_times["ar"].append(time.perf_counter() - t0)
+        sess.state = state2
+        t0 = time.perf_counter()
+        wav = st._vocode_window(cv.vocoder_params, cfg, sess.code_window)
+        jax.block_until_ready(wav)
+        stage_times["vocoder"].append(time.perf_counter() - t0)
+    for k, v in stage_times.items():
+        log(f"stage {k}: p50={np.median(v)*1e3:.2f}ms")
 
     times = []
     n_bench = 50

@@ -55,6 +55,29 @@ def convnext_block_apply(p: Dict, x: jax.Array, *, apply_residual: bool = True) 
     return x + h if apply_residual else h
 
 
+def convnext_block_init_stream(p: Dict, batch: int, dtype=jnp.float32) -> convops.ConvState:
+    """Streaming state (dwconv input tail) for one block."""
+    k, _, dim = p["dwconv"]["w"].shape
+    return convops.causal_conv1d_init_state(batch, dim, k, dtype=dtype)
+
+
+def convnext_block_apply_stream(
+    p: Dict, state: convops.ConvState, x: jax.Array
+):
+    """Streaming form of convnext_block_apply (pointwise ops are stateless;
+    only the depthwise conv carries a tail)."""
+    state, h = convops.causal_conv1d_stream(
+        state, x, p["dwconv"]["w"], p["dwconv"]["b"], groups=x.shape[-1]
+    )
+    h = layer_norm(h, p["norm"]["w"], p["norm"]["b"], eps=1e-6)
+    h = h @ p["pwconv1"]["w"] + p["pwconv1"]["b"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = h @ p["pwconv2"]["w"] + p["pwconv2"]["b"]
+    if p.get("gamma") is not None:
+        h = h * p["gamma"]
+    return state, x + h
+
+
 def convnext_encoder_init(key, cfg: ConvNeXtConfig, dtype=jnp.float32) -> Dict:
     keys = jax.random.split(key, 64)
     ki = iter(keys)

@@ -75,6 +75,77 @@ def hifigan_init(key, cfg: HiFiGANConfig, dtype=jnp.float32) -> Dict:
     return p
 
 
+def hifigan_init_stream(p: Dict, cfg: HiFiGANConfig, batch: int = 1,
+                        dtype=jnp.float32) -> Dict:
+    """Streaming state: input tails for every conv / transposed conv."""
+
+    def cs(conv_p, dilation=1):
+        k, cin, _ = conv_p["w"].shape
+        return convops.causal_conv1d_init_state(batch, cin, k, dilation=dilation,
+                                                dtype=dtype)
+
+    state: Dict = {"conv_pre": cs(p["conv_pre"]), "ups": [], "res": []}
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin = p["ups"][i]["w"].shape[1]
+        state["ups"].append(
+            convops.fish_trans_conv1d_init_state(batch, cin, k, u, dtype=dtype)
+        )
+        blocks = []
+        for rb, rd in zip(p["resblocks"][i], cfg.resblock_dilation_sizes):
+            blocks.append(
+                {
+                    "convs1": [cs(c, d) for c, d in zip(rb["convs1"], rd)],
+                    "convs2": [cs(c, d) for c, d in zip(rb["convs2"], rd)],
+                }
+            )
+        state["res"].append(blocks)
+    state["conv_post"] = cs(p["conv_post"])
+    return state
+
+
+def resblock_apply_stream(p: Dict, state: Dict, x: jax.Array, dilations):
+    new1, new2 = [], []
+    for c1, c2, s1, s2, d in zip(p["convs1"], p["convs2"], state["convs1"],
+                                 state["convs2"], dilations):
+        h = jax.nn.silu(x)
+        s1, h = convops.causal_conv1d_stream(s1, h, c1["w"], c1["b"], dilation=d)
+        h = jax.nn.silu(h)
+        s2, h = convops.causal_conv1d_stream(s2, h, c2["w"], c2["b"], dilation=d)
+        x = x + h
+        new1.append(s1)
+        new2.append(s2)
+    return {"convs1": new1, "convs2": new2}, x
+
+
+def hifigan_apply_stream(p: Dict, cfg: HiFiGANConfig, state: Dict, x: jax.Array):
+    """Streaming form: (state, (B, T, num_mels)) -> (state', (B, T * hop)).
+    Exactly prefix-consistent with hifigan_apply (causal convs only)."""
+    new_state: Dict = {"ups": [], "res": []}
+    new_state["conv_pre"], x = convops.causal_conv1d_stream(
+        state["conv_pre"], x, p["conv_pre"]["w"], p["conv_pre"]["b"]
+    )
+    for i, stride in enumerate(cfg.upsample_rates):
+        x = jax.nn.silu(x)
+        us, x = convops.fish_trans_conv1d_stream(
+            state["ups"][i], x, p["ups"][i]["w"], p["ups"][i]["b"], stride=stride
+        )
+        new_state["ups"].append(us)
+        branches = []
+        bstates = []
+        for rb, rs, rd in zip(p["resblocks"][i], state["res"][i],
+                              cfg.resblock_dilation_sizes):
+            ns, y = resblock_apply_stream(rb, rs, x, rd)
+            branches.append(y)
+            bstates.append(ns)
+        x = sum(branches) / len(branches)
+        new_state["res"].append(bstates)
+    x = jax.nn.silu(x)
+    new_state["conv_post"], x = convops.causal_conv1d_stream(
+        state["conv_post"], x, p["conv_post"]["w"], p["conv_post"]["b"]
+    )
+    return new_state, jnp.tanh(x)[..., 0]
+
+
 def hifigan_apply(p: Dict, cfg: HiFiGANConfig, x: jax.Array) -> jax.Array:
     """x: (B, T, num_mels) -> waveform (B, T * hop_length) in [-1, 1]."""
     x = convops.causal_conv1d(x, p["conv_pre"]["w"], p["conv_pre"]["b"])

@@ -1,0 +1,275 @@
+"""Incremental (true streaming) content-tokenizer encode.
+
+The reference streams the tokenizer by re-encoding a rolling 128-frame window
+per 1-frame chunk (infer_arvc.py:495-518) — ~100x redundant compute, and its
+RoPE positions restart every window.  This module instead carries:
+
+* an STFT sample tail (win - hop samples),
+* conv input tails for the ConvNeXt backbone and the two stride-2
+  downsampling convs,
+* a *rotated-frame KV ring* for the window-limited transformer: RoPE
+  attention scores depend only on relative distance, so cached keys are kept
+  rotated to a fixed query frame (each step every cached key is rotated by
+  one negative position step, costing one elementwise multiply over the
+  512-slot ring).  This makes streaming output EXACTLY equal to offline
+  encoding (up to fp error) for any stream length, with O(window) work per
+  token — better than the reference approximation on both axes.
+
+Chunk unit: one 2048-sample frame -> 4 mel hops -> 1 content token.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamvoiceanon_tpu.config import TokenizerConfig, WindowedTransformerConfig
+from streamvoiceanon_tpu.models import convnext
+from streamvoiceanon_tpu.ops import conv as convops
+from streamvoiceanon_tpu.ops import quantizers, stft
+from streamvoiceanon_tpu.ops.norm import layer_norm, rms_norm
+from streamvoiceanon_tpu.ops.rope import precompute_freqs_cis
+
+
+# ---------------------------------------------------------------------------
+# Streaming mel
+# ---------------------------------------------------------------------------
+
+
+class MelState(NamedTuple):
+    tail: jax.Array  # (B, win - hop) previous samples
+
+
+def mel_init_state(cfg, batch: int = 1) -> MelState:
+    return MelState(jnp.zeros((batch, cfg.win_length - cfg.hop_length), jnp.float32))
+
+
+def mel_stream(state: MelState, wav_chunk: jax.Array, cfg) -> Tuple[MelState, jax.Array]:
+    """(B, k*hop) samples -> (B, k, n_mels); equals causal log_mel of the
+    full signal at the corresponding frames."""
+    x = jnp.concatenate([state.tail, wav_chunk.astype(jnp.float32)], axis=1)
+    mel = stft.log_mel_spectrogram(x, cfg, causal_pad=False)
+    new_tail = x[:, x.shape[1] - (cfg.win_length - cfg.hop_length):]
+    return MelState(new_tail), mel
+
+
+# ---------------------------------------------------------------------------
+# Streaming ConvNeXt encoder
+# ---------------------------------------------------------------------------
+
+
+def convnext_encoder_init_stream(p: Dict, cfg, batch: int = 1, dtype=jnp.float32) -> Dict:
+    st = {
+        "stem": convops.causal_conv1d_init_state(
+            batch, cfg.input_channels, p["stem_conv"]["w"].shape[0], dtype=dtype
+        ),
+        "stages": [],
+    }
+    for i in range(len(cfg.depths)):
+        st["stages"].append(
+            [convnext.convnext_block_init_stream(b, batch, dtype) for b in p[f"stage_{i}"]]
+        )
+    return st
+
+
+def convnext_encoder_apply_stream(p: Dict, cfg, state: Dict, x: jax.Array):
+    new = {"stages": []}
+    for i in range(len(cfg.depths)):
+        if i == 0:
+            new["stem"], x = convops.causal_conv1d_stream(
+                state["stem"], x, p["stem_conv"]["w"], p["stem_conv"]["b"]
+            )
+            x = layer_norm(x, p["stem_norm"]["w"], p["stem_norm"]["b"], eps=1e-6)
+        else:
+            x = layer_norm(x, p[f"mid_norm_{i-1}"]["w"], p[f"mid_norm_{i-1}"]["b"], eps=1e-6)
+            x = x @ p[f"mid_conv_{i-1}"]["w"][0] + p[f"mid_conv_{i-1}"]["b"]
+        stage_states = []
+        for blk, bst in zip(p[f"stage_{i}"], state["stages"][i]):
+            bst, x = convnext.convnext_block_apply_stream(blk, bst, x)
+            stage_states.append(bst)
+        new["stages"].append(stage_states)
+    x = layer_norm(x, p["final_norm"]["w"], p["final_norm"]["b"], eps=1e-6)
+    return new, x
+
+
+# ---------------------------------------------------------------------------
+# Rotated-frame KV ring for the window-limited transformer
+# ---------------------------------------------------------------------------
+
+
+class RingState(NamedTuple):
+    k_ring: jax.Array  # (L, B, H, W, D) keys rotated to the fixed query frame
+    v_ring: jax.Array  # (L, B, H, W, D)
+    count: jax.Array  # scalar int32: tokens seen so far
+
+
+@functools.lru_cache(maxsize=8)
+def _unit_rotation(head_dim: int, rope_base: float) -> np.ndarray:
+    """cos/sin of a -1 position step per rotary dim pair: (D//2, 2)."""
+    freqs = 1.0 / (
+        rope_base ** (np.arange(0, head_dim, 2)[: head_dim // 2] / head_dim)
+    )
+    return np.stack([np.cos(-freqs), np.sin(-freqs)], axis=-1).astype(np.float32)
+
+
+def _rotate_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    xs = x.astype(jnp.float32).reshape(*x.shape[:-1], x.shape[-1] // 2, 2)
+    x0, x1 = xs[..., 0], xs[..., 1]
+    out = jnp.stack([x0 * cos - x1 * sin, x1 * cos + x0 * sin], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def ring_init(cfg: WindowedTransformerConfig, batch: int = 1, dtype=jnp.float32) -> RingState:
+    W = cfg.window_size
+    shape = (cfg.n_layer, batch, cfg.n_head, W, cfg.head_dim)
+    return RingState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.int32(0))
+
+
+def transformer_stream_step(
+    params: Dict, cfg: WindowedTransformerConfig, state: RingState, x: jax.Array
+) -> Tuple[RingState, jax.Array]:
+    """One new token (B, 1, dim) through all layers with the rotated ring.
+
+    The query sits at fixed relative position 0; cached key at age a carries
+    rotation angle -a (applied incrementally).  Equal to offline windowed
+    causal attention because RoPE scores depend only on (query - key)
+    position differences."""
+    W = cfg.window_size
+    unit = jnp.asarray(_unit_rotation(cfg.head_dim, cfg.rope_base))
+    cos, sin = unit[None, None, None, :, 0], unit[None, None, None, :, 1]
+    age = W - 1 - jnp.arange(W)  # slot W-1 is the newest
+    valid = age <= jnp.minimum(state.count, W - 1)
+
+    def layer(carry, inp):
+        h = carry
+        lp, k_ring, v_ring = inp
+        B = h.shape[0]
+        hn = rms_norm(h, lp["attention_norm"]["w"], cfg.norm_eps)
+        qkv = hn @ lp["wqkv"]["w"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, 1, cfg.n_head, cfg.head_dim)
+        k = k.reshape(B, 1, cfg.n_head, cfg.head_dim)
+        # rotate all cached keys one step into the past, then append the new
+        # key at relative position 0
+        k_ring = _rotate_pairs(k_ring, cos, sin)
+        k_ring = jnp.roll(k_ring, -1, axis=2)
+        v_ring = jnp.roll(v_ring, -1, axis=2)
+        k_ring = k_ring.at[:, :, W - 1].set(
+            jnp.swapaxes(k, 1, 2)[:, :, 0].astype(k_ring.dtype)
+        )
+        v_ring = v_ring.at[:, :, W - 1].set(
+            jnp.swapaxes(v.reshape(B, 1, cfg.n_head, cfg.head_dim), 1, 2)[:, :, 0]
+            .astype(v_ring.dtype)
+        )
+        qh = jnp.swapaxes(q, 1, 2)  # (B, H, 1, D)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, k_ring.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(cfg.head_dim)
+        scores = jnp.where(valid[None, None, None, :], scores, -jnp.inf)
+        w = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+        out = jnp.einsum("bhqk,bhkd->bqhd", w, v_ring.astype(h.dtype))
+        out = out.reshape(B, 1, cfg.n_head * cfg.head_dim)
+        h = h + lp["attn_scale"] * (out @ lp["wo"]["w"])
+        f = rms_norm(h, lp["ffn_norm"]["w"], cfg.norm_eps)
+        f = (jax.nn.silu(f @ lp["w1"]["w"]) * (f @ lp["w3"]["w"])) @ lp["w2"]["w"]
+        h = h + lp["ffn_scale"] * f
+        return h, (k_ring, v_ring)
+
+    stacked = _stack_wt_layers(params)
+    x, rings = jax.lax.scan(
+        lambda c, i: layer(c, (i[0], i[1], i[2])),
+        x,
+        (stacked, state.k_ring, state.v_ring),
+    )
+    x = rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
+    return RingState(rings[0], rings[1], state.count + 1), x
+
+
+@functools.lru_cache(maxsize=4)
+def _stack_cache():
+    return {}
+
+
+def _stack_wt_layers(params: Dict):
+    """Stack the windowed-transformer layer list once per params identity."""
+    cache = _stack_cache()
+    key = id(params)
+    if key not in cache:
+        from streamvoiceanon_tpu.models.dual_ar import stack_layers
+
+        cache[key] = stack_layers(params["layers"])
+    return cache[key]
+
+
+# ---------------------------------------------------------------------------
+# Full tokenizer stream
+# ---------------------------------------------------------------------------
+
+
+class TokenizerStreamState(NamedTuple):
+    mel: MelState
+    backbone: Dict
+    down: Tuple
+    ring: RingState
+
+
+def init_stream_state(params: Dict, cfg: TokenizerConfig, batch: int = 1,
+                      dtype=jnp.float32) -> TokenizerStreamState:
+    dims = cfg.quantizer.input_dim
+    down = []
+    for stage, f in zip(params["downsample"], cfg.quantizer.downsample_factor):
+        down.append(
+            {
+                "conv": convops.causal_conv1d_init_state(
+                    batch, dims, stage["conv"]["w"].shape[0], stride=f, dtype=dtype
+                ),
+                "block": convnext.convnext_block_init_stream(stage["block"], batch, dtype),
+            }
+        )
+    return TokenizerStreamState(
+        mel=mel_init_state(cfg.mel, batch),
+        backbone=convnext_encoder_init_stream(params["backbone"], cfg.backbone, batch, dtype),
+        down=tuple(down),
+        ring=ring_init(cfg.transformer, batch, dtype),
+    )
+
+
+def encode_stream(
+    params: Dict, cfg: TokenizerConfig, state: TokenizerStreamState, wav_chunk: jax.Array
+) -> Tuple[TokenizerStreamState, jax.Array]:
+    """(state, (B, k*2048) samples) -> (state', (B, k) content tokens).
+
+    Exactly prefix-consistent with tokenizer.encode on the whole signal."""
+    mel_state, mel = mel_stream(state.mel, wav_chunk, cfg.mel)
+    bb_state, feat = convnext_encoder_apply_stream(
+        params["backbone"], cfg.backbone, state.backbone, mel
+    )
+    z = feat
+    new_down = []
+    for stage, st, f in zip(params["downsample"], state.down,
+                            cfg.quantizer.downsample_factor):
+        cs, z = convops.causal_conv1d_stream(
+            st["conv"], z, stage["conv"]["w"], stage["conv"]["b"], stride=f
+        )
+        bs, z = convnext.convnext_block_apply_stream(stage["block"], st["block"], z)
+        new_down.append({"conv": cs, "block": bs})
+
+    # one transformer step per new token (k is tiny — usually 1)
+    ring = state.ring
+    outs = []
+    for t in range(z.shape[1]):
+        ring, h = transformer_stream_step(
+            params["pre_module"], cfg.transformer, ring, z[:, t : t + 1]
+        )
+        outs.append(h)
+    z = jnp.concatenate(outs, axis=1)
+    tokens = quantizers.lfq_encode(params["lfq"], z, cfg.quantizer.codebook_bits)
+    return (
+        TokenizerStreamState(mel_state, bb_state, tuple(new_down), ring),
+        tokens,
+    )

@@ -109,3 +109,58 @@ def decode(params: Dict, cfg: VocoderConfig, codes: jax.Array) -> jax.Array:
     (infer_arvc.py:173-176 code2wav_fn)."""
     z = decode_codes(params, cfg, codes)
     return hifigan.hifigan_apply(params["head"], cfg.head, z)
+
+
+# ---------------------------------------------------------------------------
+# Incremental streaming decode
+# ---------------------------------------------------------------------------
+#
+# The reference streams the vocoder by re-decoding a rolling 64-frame code
+# window per 1-frame chunk (infer_arvc.py:567-596) — ~64x redundant compute.
+# Because every conv on the decode path is causal, we instead carry input
+# tails for each conv and decode only the new frames; the output is exactly
+# prefix-consistent with the offline decode (tested).
+
+
+def init_stream_state(params: Dict, cfg: VocoderConfig, batch: int = 1,
+                      dtype=jnp.float32) -> Dict:
+    from streamvoiceanon_tpu.models.convnext import convnext_block_init_stream
+    from streamvoiceanon_tpu.ops import conv as convops
+
+    up = []
+    for stage, f in zip(params["upsample"], reversed(cfg.quantizer.downsample_factor)):
+        cin = stage["conv"]["w"].shape[1]
+        up.append(
+            {
+                "conv": convops.fish_trans_conv1d_init_state(
+                    batch, cin, stage["conv"]["w"].shape[0], f, dtype=dtype
+                ),
+                "block": convnext_block_init_stream(stage["block"], batch, dtype),
+            }
+        )
+    return {
+        "upsample": up,
+        "head": hifigan.hifigan_init_stream(params["head"], cfg.head, batch, dtype),
+    }
+
+
+def decode_stream(params: Dict, cfg: VocoderConfig, state: Dict, codes: jax.Array):
+    """Streaming decode: (state, codes (B, nq, k)) -> (state', wav (B, k*2048))."""
+    from streamvoiceanon_tpu.models.convnext import convnext_block_apply_stream
+    from streamvoiceanon_tpu.ops import conv as convops
+
+    idx = jnp.swapaxes(codes, 1, 2)
+    z = quantizers.grouped_residual_fsq_decode(
+        params["fsq"], idx, cfg.quantizer.n_groups, cfg.quantizer.levels,
+        cfg.quantizer.n_codebooks,
+    ).astype(state["head"]["conv_pre"].tail.dtype)
+    new_up = []
+    for stage, st, f in zip(params["upsample"], state["upsample"],
+                            reversed(cfg.quantizer.downsample_factor)):
+        cs, z = convops.fish_trans_conv1d_stream(
+            st["conv"], z, stage["conv"]["w"], stage["conv"]["b"], stride=f
+        )
+        bs, z = convnext_block_apply_stream(stage["block"], st["block"], z)
+        new_up.append({"conv": cs, "block": bs})
+    hs, wav = hifigan.hifigan_apply_stream(params["head"], cfg.head, state["head"], z)
+    return {"upsample": new_up, "head": hs}, wav

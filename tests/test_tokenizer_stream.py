@@ -1,0 +1,56 @@
+"""Incremental tokenizer encode must match offline encode token-for-token."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import tinymodels
+from streamvoiceanon_tpu.models import tokenizer, tokenizer_stream
+
+SPF = 2048
+
+
+@pytest.fixture(scope="module")
+def cv():
+    return tinymodels.tiny_converter()
+
+
+@pytest.mark.parametrize("chunk_frames", [1, 2])
+def test_encode_stream_matches_offline(cv, rng, chunk_frames):
+    cfg = cv.cfg.tokenizer
+    T = 24
+    wav = (rng.standard_normal((1, T * SPF)) * 0.2).astype(np.float32)
+    offline = np.asarray(tokenizer.encode(cv.tokenizer_params, cfg, jnp.asarray(wav)))
+
+    state = tokenizer_stream.init_stream_state(cv.tokenizer_params, cfg)
+    toks = []
+    n = chunk_frames * SPF
+    for i in range(0, T * SPF, n):
+        state, t = tokenizer_stream.encode_stream(
+            cv.tokenizer_params, cfg, state, jnp.asarray(wav[:, i : i + n])
+        )
+        toks.append(np.asarray(t))
+    got = np.concatenate(toks, axis=1)
+    assert got.shape == offline.shape
+    mismatch = (got != offline).mean()
+    assert mismatch == 0.0, f"token mismatch rate {mismatch}"
+
+
+def test_encode_stream_beyond_window(cv, rng):
+    """Stream longer than the attention window: the ring must keep producing
+    tokens equal to offline (window-limited) encoding."""
+    cfg = cv.cfg.tokenizer  # window_size=64 in the tiny config
+    T = 90
+    wav = (rng.standard_normal((1, T * SPF)) * 0.2).astype(np.float32)
+    offline = np.asarray(tokenizer.encode(cv.tokenizer_params, cfg, jnp.asarray(wav)))
+    state = tokenizer_stream.init_stream_state(cv.tokenizer_params, cfg)
+    toks = []
+    for i in range(T):
+        state, t = tokenizer_stream.encode_stream(
+            cv.tokenizer_params, cfg, state, jnp.asarray(wav[:, i * SPF : (i + 1) * SPF])
+        )
+        toks.append(np.asarray(t))
+    got = np.concatenate(toks, axis=1)
+    mismatch = (got != offline).mean()
+    assert mismatch <= 0.01, f"token mismatch rate {mismatch}"
