@@ -311,6 +311,10 @@ class SamplingConfig:
     top_p: float = 0.7
     repetition_penalty: float = 1.0  # penalty disabled on the runtime path
     greedy: bool = False  # argmax decoding (parity/testing mode)
+    # nucleus filter runs over the top-k logits only (exact whenever the
+    # nucleus fits in k; far cheaper than a full-vocab sort on TPU);
+    # 0 = exact full-vocab sort
+    top_k_window: int = 64
 
 
 @dataclass(frozen=True)

@@ -313,7 +313,7 @@ def _fast_decode(
         code = jax.vmap(
             lambda kk, lg: sample_token(
                 kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
-                greedy=sampling.greedy,
+                greedy=sampling.greedy, top_k_window=sampling.top_k_window,
             )
         )(jax.random.split(k, B), logits)
         next_x = jnp.take(params["fast_embeddings"], code, axis=0)[:, None]
@@ -471,7 +471,7 @@ def decode_frame(
     semantic = jax.vmap(
         lambda kk, lg: sample_token(
             kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
-            greedy=sampling.greedy,
+            greedy=sampling.greedy, top_k_window=sampling.top_k_window,
         )
     )(jax.random.split(k_sem, B), logits)
     hidden = _project_fast(params, last)

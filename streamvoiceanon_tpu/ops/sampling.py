@@ -50,13 +50,34 @@ def sample_token(
     repetition_penalty: float = 1.0,
     previous_tokens: Optional[jax.Array] = None,
     greedy: bool = False,
+    top_k_window: int = 0,
 ) -> jax.Array:
-    """Sample one token id (scalar int32) from logits (V,)."""
+    """Sample one token id (scalar int32) from logits (V,).
+
+    With `top_k_window` > 0 the nucleus filter runs over only the top-k
+    logits (jax.lax.top_k + cumsum over k candidates) instead of a full-vocab
+    sort — the decode hot path uses k=64..256, which is exact whenever the
+    nucleus fits in the window (always, at the reference's top_p=0.7 with a
+    trained model) and orders of magnitude cheaper on TPU."""
     logits = logits.astype(jnp.float32)
     if previous_tokens is not None and repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, previous_tokens, repetition_penalty)
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if top_k_window and top_k_window < logits.shape[-1]:
+        vals, idx = jax.lax.top_k(logits, top_k_window)  # descending
+        if top_p < 1.0:
+            # normalize against the FULL vocabulary (matching the reference's
+            # softmax-then-cumsum over all logits), not just the window
+            logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+            probs = jnp.exp(vals - logz)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs <= top_p  # keep while cumprob before <= p
+            vals = jnp.where(keep, vals, -jnp.inf)
+        vals = vals / jnp.maximum(temperature, 1e-5)
+        g = jax.random.gumbel(key, vals.shape, jnp.float32)
+        j = jnp.argmax(vals + g, axis=-1)
+        return jnp.take(idx, j).astype(jnp.int32)
     if top_p < 1.0:
         logits = top_p_mask(logits, top_p)
     logits = logits / jnp.maximum(temperature, 1e-5)

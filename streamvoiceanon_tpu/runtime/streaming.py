@@ -1,34 +1,42 @@
 """Streaming voice-conversion runtime.
 
-Reproduces the reference's chunk state machine
-(evaluations/infer_arvc.py:443-689: setup_stream_caches, prefill_prompt,
-process_one_chunk, stream_infer) as a set of fixed-shape jitted programs
-coordinated by a tiny host-side session object:
+Two modes:
 
-* rolling 128-frame wav window re-encoded per chunk (the reference's
-  streaming strategy for the tokenizer, :495-518);
-* 2-token KV-cache decode per frame (models/arvc.decode_one);
-* 64-frame vocoder window seeded from the reference prompt's code tail, so
-  early chunks are left-padded with reference codes exactly like :567-571;
-* periodic prompt refill when the LM position reaches max_seq_frames
-  (:547-564) — scheduled host-side (the position trajectory is
-  deterministic), so no data-dependent branching enters the compiled code.
+* incremental (default) — TPU-native design: ONE fused, fixed-shape jitted
+  program per chunk carries all streaming state (STFT tail, conv tails,
+  windowed-attention KV ring, LM KV cache, vocoder conv tails) and does
+  content-encode -> AR frame decode -> vocode in a single dispatch with
+  donated buffers.  Encoder and vocoder are exactly prefix-consistent with
+  their offline forms (tests/test_tokenizer_stream.py,
+  tests/test_vocoder_stream.py), so the stream equals offline conversion.
 
-Every per-chunk program has a single static shape: one compile per
-(chunk geometry), none per chunk index.
+* window — bit-faithful re-expression of the reference state machine
+  (evaluations/infer_arvc.py:443-689): rolling 128-frame window re-encode,
+  64-frame vocoder window seeded with reference-code tail.
+
+Both share the LM phases: silence while the first `delay` tokens accumulate,
+a one-time delay prefill, per-frame 2-token decode, and periodic prompt
+refill when the LM position reaches max_seq_frames (:547-564) — refill is
+scheduled host-side (the position trajectory is deterministic), so no
+data-dependent branching enters compiled code.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig, StreamConfig
-from streamvoiceanon_tpu.models import arvc, tokenizer, vocoder
+from streamvoiceanon_tpu.models import arvc, tokenizer, tokenizer_stream, vocoder
+
+
+# ---------------------------------------------------------------------------
+# jitted programs (shared)
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -56,6 +64,50 @@ def _decode_frames(params, cfg: PipelineConfig, state, tokens_k, key,
     return state, jnp.transpose(codes, (1, 2, 0))  # (B, nq, k)
 
 
+class FusedState(NamedTuple):
+    tok: tokenizer_stream.TokenizerStreamState
+    lm: arvc.ARVCState
+    voc: Dict
+    tok_ring: jax.Array  # (B, R) recent content tokens (refill history)
+    code_ring: jax.Array  # (B, nq, R) recent decoded codes (refill history)
+    key: jax.Array
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(3,))
+def _chunk_step_fused(params, cfg: PipelineConfig,
+                      sampling: SamplingConfig, state: FusedState, wav_chunk):
+    """Steady-state chunk: encode k new tokens incrementally, decode k frames,
+    vocode k frames — one dispatch, state donated."""
+    tok_params, arvc_params, voc_params = params
+    tstate, toks = tokenizer_stream.encode_stream(
+        tok_params, cfg.tokenizer, state.tok, wav_chunk
+    )
+    tok_ring = jnp.concatenate([state.tok_ring[:, toks.shape[1]:], toks], axis=1)
+    key, sub = jax.random.split(state.key)
+
+    def step(carry, tok):
+        st, kk = carry
+        kk, s2 = jax.random.split(kk)
+        st, codes = arvc.decode_one(arvc_params, cfg.arvc, st, tok[:, None], s2, sampling)
+        return (st, kk), codes
+
+    (lm, _), codes = jax.lax.scan(step, (state.lm, sub), jnp.swapaxes(toks, 0, 1))
+    codes = jnp.transpose(codes, (1, 2, 0))  # (B, nq, k)
+    code_ring = jnp.concatenate([state.code_ring[:, :, codes.shape[-1]:], codes], axis=-1)
+    voc, wav = vocoder.decode_stream(voc_params, cfg.vocoder, state.voc, codes)
+    return FusedState(tstate, lm, voc, tok_ring, code_ring, key), wav, toks
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def _encode_only_fused(cfg: PipelineConfig, tok_params, state: FusedState,
+                       wav_chunk):
+    tstate, toks = tokenizer_stream.encode_stream(
+        tok_params, cfg.tokenizer, state.tok, wav_chunk
+    )
+    ring = jnp.concatenate([state.tok_ring[:, toks.shape[1]:], toks], axis=1)
+    return state._replace(tok=tstate, tok_ring=ring), toks
+
+
 class StreamSession:
     """One real-time conversion stream.
 
@@ -77,6 +129,8 @@ class StreamSession:
         timbre: Optional[jax.Array] = None,
         ref_tokens: Optional[jax.Array] = None,
         ref_codes: Optional[jax.Array] = None,
+        incremental: bool = True,
+        state_dtype=jnp.float32,
     ):
         self.cv = converter
         self.cfg: PipelineConfig = converter.cfg
@@ -85,6 +139,8 @@ class StreamSession:
         self.key = jax.random.PRNGKey(0) if key is None else key
         self.spf = self.cfg.samples_per_frame
         self.delay = self.scfg.delay
+        self.incremental = incremental
+        self.state_dtype = state_dtype
 
         # ---- prompt computation (prefill_prompt, infer_arvc.py:463-489)
         if ref_wavs is not None:
@@ -107,43 +163,126 @@ class StreamSession:
         self.timbre = timbre
         self.Tp = self.ref_tokens.shape[1]
 
-        self.state = arvc.prefill_prompt(
+        lm_state = arvc.prefill_prompt(
             self.cv.arvc_params, self.cfg.arvc, self.ref_tokens, self.ref_codes,
-            style, timbre, delay=self.delay,
+            style, timbre, delay=self.delay, cache_dtype=state_dtype,
         )
 
-        # ---- stream caches (setup_stream_caches, :443-461)
+        # ---- stream caches
         k = self.scfg.decode_chunk_frames
-        self.wav_window = jnp.zeros((1, self.scfg.encode_window_frames * self.spf))
-        # token ring: enough history for refill (buffer + delay + chunk)
         self.tok_ring_len = self.scfg.buffer_frames + max(self.delay, 1) + k + 8
-        self.tok_ring = jnp.zeros((1, self.tok_ring_len), jnp.int32)
         self.tokens_seen = 0
-        # vocoder code window, seeded with the reference code tail so that
-        # early chunks get ref-code left-padding (:567-571)
-        W = self.scfg.decode_window_frames
-        seed = self.ref_codes[:, :, -W:]
-        pad = W - seed.shape[-1]
-        if pad > 0:
-            seed = jnp.concatenate([jnp.zeros_like(seed[:, :, :1]).repeat(pad, -1), seed], -1)
-        self.code_window = seed
         self.frames_decoded = 0
         self.delay_prefilled = self.delay == 0
 
+        if incremental:
+            self.fstate = FusedState(
+                tok=tokenizer_stream.init_stream_state(
+                    self.cv.tokenizer_params, self.cfg.tokenizer, 1, state_dtype
+                ),
+                lm=lm_state,
+                voc=vocoder.init_stream_state(
+                    self.cv.vocoder_params, self.cfg.vocoder, 1, state_dtype
+                ),
+                tok_ring=jnp.zeros((1, self.tok_ring_len), jnp.int32),
+                code_ring=jnp.zeros(
+                    (1, self.cfg.arvc.decoder.num_codebooks, self.tok_ring_len),
+                    jnp.int32,
+                ),
+                key=self.key,
+            )
+        else:
+            self.state = lm_state
+            self.wav_window = jnp.zeros((1, self.scfg.encode_window_frames * self.spf))
+            self.tok_ring = jnp.zeros((1, self.tok_ring_len), jnp.int32)
+            W = self.scfg.decode_window_frames
+            seed = self.ref_codes[:, :, -W:]
+            pad = W - seed.shape[-1]
+            if pad > 0:
+                seed = jnp.concatenate(
+                    [jnp.zeros_like(seed[:, :, :1]).repeat(pad, -1), seed], -1
+                )
+            self.code_window = seed
+
     # ------------------------------------------------------------------
 
+    def _lm_state(self):
+        return self.fstate.lm if self.incremental else self.state
+
     def _lm_pos(self) -> int:
-        """Deterministic LM cache position (see module docstring)."""
-        return int(self.state.decode.pos)
+        return int(self._lm_state().decode.pos)
 
     def process_chunk(self, chunk: np.ndarray) -> np.ndarray:
-        """One k-frame chunk in (k * 2048 samples), one chunk out
-        (process_one_chunk, infer_arvc.py:492-596)."""
+        if self.incremental:
+            return self._process_chunk_incremental(chunk)
+        return self._process_chunk_window(chunk)
+
+    # ------------------------------------------------------------------
+    # incremental mode
+    # ------------------------------------------------------------------
+
+    def _process_chunk_incremental(self, chunk) -> np.ndarray:
+        k = self.scfg.decode_chunk_frames
+        n = k * self.spf
+        chunk = jnp.asarray(chunk).reshape(1, n)
+        params = (self.cv.tokenizer_params, self.cv.arvc_params, self.cv.vocoder_params)
+
+        if self.tokens_seen + k <= self.delay or not self.delay_prefilled:
+            self.fstate, toks = _encode_only_fused(
+                self.cfg, self.cv.tokenizer_params, self.fstate, chunk
+            )
+            self.tokens_seen += k
+            if self.tokens_seen >= self.delay and not self.delay_prefilled:
+                lm = arvc.prefill_src_condition4delay(
+                    self.cv.arvc_params, self.cfg.arvc, self.fstate.lm,
+                    self.fstate.tok_ring[:, -self.delay :], self.delay,
+                )
+                self.fstate = self.fstate._replace(lm=lm)
+                self.delay_prefilled = True
+            return np.zeros(n, np.float32)
+
+        self.fstate, wav, toks = _chunk_step_fused(
+            params, self.cfg, self.sampling, self.fstate, chunk
+        )
+        self.tokens_seen += k
+        self.frames_decoded += k
+        if self._lm_pos() // 2 >= self.scfg.max_seq_frames:
+            self._refill_incremental()
+        return np.asarray(wav[0])
+
+    def _refill_incremental(self):
+        b = self.scfg.buffer_frames
+        lm = arvc.prefill_prompt(
+            self.cv.arvc_params, self.cfg.arvc,
+            jnp.concatenate([self.ref_tokens, self._recent_tokens(b)], axis=-1),
+            jnp.concatenate([self.ref_codes, self._recent_codes(b)], axis=-1),
+            self.style, self.timbre, delay=self.delay,
+            cache_dtype=self.state_dtype,
+        )
+        if self.delay > 0:
+            lm = arvc.prefill_src_condition4delay(
+                self.cv.arvc_params, self.cfg.arvc, lm,
+                self.fstate.tok_ring[:, -self.delay :], self.delay,
+            )
+        self.fstate = self.fstate._replace(lm=lm)
+
+    def _recent_tokens(self, b):
+        if self.delay > 0:
+            return self.fstate.tok_ring[:, -b - self.delay : -self.delay]
+        return self.fstate.tok_ring[:, -b:]
+
+    def _recent_codes(self, b):
+        return self.fstate.code_ring[:, :, -b:]
+
+    # ------------------------------------------------------------------
+    # window (reference-faithful) mode
+    # ------------------------------------------------------------------
+
+    def _process_chunk_window(self, chunk) -> np.ndarray:
         k = self.scfg.decode_chunk_frames
         n = k * self.spf
         chunk = jnp.asarray(chunk).reshape(1, n)
 
-        # roll wav window, encode, keep last k tokens
         self.wav_window = jnp.concatenate([self.wav_window[:, n:], chunk], axis=1)
         toks = _encode_window(self.cv.tokenizer_params, self.cfg, self.wav_window)
         new_toks = toks[:, -k:]
@@ -160,7 +299,6 @@ class StreamSession:
             self.delay_prefilled = True
             return np.zeros(n, np.float32)
 
-        # decode k frames
         self.key, sub = jax.random.split(self.key)
         self.state, codes_k = _decode_frames(
             self.cv.arvc_params, self.cfg, self.state, new_toks, sub,
@@ -171,15 +309,13 @@ class StreamSession:
         )
         self.frames_decoded += k
 
-        # prompt refill when the interleaved position exceeds the cache
-        # budget (:547-564)
         if self._lm_pos() // 2 >= self.scfg.max_seq_frames:
-            self._refill()
+            self._refill_window()
 
         wav = _vocode_window(self.cv.vocoder_params, self.cfg, self.code_window)
         return np.asarray(wav[0, -n:])
 
-    def _refill(self):
+    def _refill_window(self):
         b = self.scfg.buffer_frames
         ext_codes = jnp.concatenate(
             [self.ref_codes, self.code_window[:, :, -b:]], axis=-1
@@ -205,7 +341,7 @@ class StreamSession:
         """Simulated streaming over a file (stream_infer, :598-689)."""
         k = self.scfg.decode_chunk_frames
         n = k * self.spf
-        pad = n - (len(src_wav) % n)
+        pad = (-len(src_wav)) % n
         src = np.pad(src_wav, (pad, 0))
         outs = [self.process_chunk(src[i : i + n]) for i in range(0, len(src), n)]
         return np.concatenate(outs)

@@ -56,6 +56,7 @@ def test_stream_matches_offline_lm_codes(cv, rng):
     sess = StreamSession(
         cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
         style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+        incremental=False,
     )
     stream_codes = []
     for i in range(Ls):
@@ -104,6 +105,7 @@ def test_stream_refill_keeps_running(cv, rng):
     sess = StreamSession(
         cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
         style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+        incremental=False,
     )
     pos_before = sess.state.decode.pos
     outs = [sess.process_chunk(src_wav[i * SPF : (i + 1) * SPF]) for i in range(Ls)]
@@ -111,3 +113,48 @@ def test_stream_refill_keeps_running(cv, rng):
     out = np.concatenate(outs)
     assert np.isfinite(out).all()
     assert np.abs(out).max() <= 1.0
+
+
+def test_incremental_stream_matches_offline(cv, rng):
+    """Incremental mode: stream output frames must equal offline conversion
+    of the raw source (no zero-prefix needed — the incremental encoder is
+    offline-exact)."""
+    delay, Ls, Tr = 2, 10, 6
+    ref_wav = _rand_wav(rng, Tr)
+    src_wav = _rand_wav(rng, Ls)
+    ref_tokens = cv.content_tokens(jnp.asarray(ref_wav)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref_wav)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+
+    src_tokens = cv.content_tokens(jnp.asarray(src_wav)[None])
+    offline_codes = arvc.generate(
+        cv.arvc_params, cv.cfg.arvc, ref_tokens, ref_codes, src_tokens,
+        style, timbre, jax.random.PRNGKey(0), GREEDY, delay,
+    )
+    from streamvoiceanon_tpu.models import vocoder as voc_mod
+
+    offline_wav = np.asarray(
+        voc_mod.decode(cv.vocoder_params, cv.cfg.vocoder, offline_codes)
+    )
+
+    scfg = StreamConfig(
+        max_prompt_frames=64, max_seq_frames=10_000, buffer_frames=4,
+        decode_chunk_frames=1, delay=delay,
+    )
+    sess = StreamSession(
+        cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+        style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+        incremental=True,
+    )
+    outs = [sess.process_chunk(src_wav[i * SPF : (i + 1) * SPF]) for i in range(Ls)]
+    got = np.concatenate(outs)
+    # streamed frame f (f >= delay) corresponds to offline frame f - delay
+    n_frames = Ls - delay
+    np.testing.assert_allclose(
+        got[delay * SPF :], offline_wav[0, : n_frames * SPF], atol=1e-4
+    )
+    codes_hist = np.asarray(sess.fstate.code_ring[:, :, -n_frames:])
+    np.testing.assert_array_equal(
+        codes_hist, np.asarray(offline_codes)[:, :, :n_frames]
+    )
