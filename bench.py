@@ -84,30 +84,8 @@ def main():
         sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
     log(f"warm-up ({n_warm} chunks incl. compile): {time.time()-t0:.1f}s")
 
-    # per-stage timing (CUDA-event equivalent of infer_arvc.py:498-596)
-    from streamvoiceanon_tpu.runtime import streaming as st
-
-    stage_times = {"encode": [], "ar": [], "vocoder": []}
-    for _ in range(10):
-        t0 = time.perf_counter()
-        toks = st._encode_window(cv.tokenizer_params, cfg, sess.wav_window)
-        jax.block_until_ready(toks)
-        stage_times["encode"].append(time.perf_counter() - t0)
-        sess.key, sub = jax.random.split(sess.key)
-        t0 = time.perf_counter()
-        state2, codes_k = st._decode_frames(
-            cv.arvc_params, cfg, sess.state, toks[:, -1:], sub, sess.sampling, 1
-        )
-        jax.block_until_ready(codes_k)
-        stage_times["ar"].append(time.perf_counter() - t0)
-        sess.state = state2
-        t0 = time.perf_counter()
-        wav = st._vocode_window(cv.vocoder_params, cfg, sess.code_window)
-        jax.block_until_ready(wav)
-        stage_times["vocoder"].append(time.perf_counter() - t0)
-    for k, v in stage_times.items():
-        log(f"stage {k}: p50={np.median(v)*1e3:.2f}ms")
-
+    # per-stage timing of the window (reference-style) pipeline for
+    # comparison is skipped here; the fused incremental step IS the chunk.
     times = []
     n_bench = 50
     for i in range(n_warm, n_warm + n_bench):

@@ -1,0 +1,146 @@
+"""Command-line interface.
+
+    python -m streamvoiceanon_tpu.cli convert --src S.wav --ref R.wav [R2.wav ...]
+        [--out out.wav] [--delay 2] [--alpha 1.0] [--simulate-streaming]
+        [--ckpt-dir DIR] [--preset balanced] [--seed 0]
+
+The torch-checkpoint equivalent of the reference CLI
+(evaluations/infer_arvc.py:691-743).  Checkpoints: --ckpt-dir must contain
+the five published state_dicts (SURVEY.md §2.5); without it the pipeline
+runs with random weights (smoke/demo mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_converter_from_ckpts(ckpt_dir: str | None, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from streamvoiceanon_tpu.config import PipelineConfig
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+
+    cfg = PipelineConfig()
+    if ckpt_dir is None:
+        from streamvoiceanon_tpu.utils import randparams as rp
+
+        print("[warn] no --ckpt-dir: running with RANDOM weights", file=sys.stderr)
+        dev = jax.devices()[0]
+        return VoiceConverter(
+            cfg=cfg,
+            tokenizer_params=jax.device_put(rp.tokenizer_params_np(cfg.tokenizer, seed), dev),
+            vocoder_params=jax.device_put(rp.vocoder_params_np(cfg.vocoder, seed + 1), dev),
+            arvc_params=jax.device_put(
+                jax.tree.map(jnp.asarray, rp.arvc_params_np(cfg.arvc, seed + 2)), dev
+            ),
+        )
+
+    import os
+
+    import torch
+
+    from streamvoiceanon_tpu.models import arvc as arvc_mod
+    from streamvoiceanon_tpu.models import campplus as campplus_mod
+    from streamvoiceanon_tpu.models import speaker_encoder as spk_mod
+    from streamvoiceanon_tpu.runtime import convert
+
+    def load(name):
+        path = os.path.join(ckpt_dir, name)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if "net" in sd:
+            sd = sd["net"]
+        return {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+    tok = convert.tokenizer(load("asr_s2s_bsq_8192_causal_down_whisper.pth"), cfg.tokenizer)
+    voc = convert.vocoder(
+        load("firefly-gan-vq-fsq-8x1024-21hz-generator.pth"), cfg.vocoder
+    )
+    arvc_p = arvc_mod.prepare_params(convert.arvc(load("dual_ar_delay_0_8.pth"), cfg.arvc))
+    camp = campplus_mod.convert(load("campplus_cn_common.bin"), cfg.campplus)
+    spk = spk_mod.convert(load("spark_speaker_encoder.pth"), cfg.speaker)
+    import jax
+
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+
+    jmap = lambda t: jax.tree.map(jax.numpy.asarray, t)  # noqa: E731
+    return VoiceConverter(
+        cfg=cfg, tokenizer_params=jmap(tok), vocoder_params=jmap(voc),
+        arvc_params=arvc_p, campplus_params=jmap(camp), speaker_params=jmap(spk),
+    )
+
+
+def cmd_convert(args):
+    import jax
+    import numpy as np
+
+    from streamvoiceanon_tpu.audio.io import read_wav, write_wav
+    from streamvoiceanon_tpu.config import SamplingConfig, preset
+
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    src, sr = read_wav(args.src, target_sr=cv.cfg.sample_rate)
+    refs = [read_wav(p, target_sr=cv.cfg.sample_rate)[0] for p in args.ref]
+    key = jax.random.PRNGKey(args.seed)
+    sampling = SamplingConfig(temperature=args.temperature, top_p=args.top_p)
+
+    scfg = preset(args.preset) if args.preset else cv.cfg.stream
+    delay = args.delay if args.delay is not None else scfg.delay
+    alpha = args.alpha if args.alpha is not None else scfg.alpha
+
+    t0 = time.time()
+    if args.simulate_streaming:
+        from streamvoiceanon_tpu.config import replace
+        from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+        scfg = replace(scfg, delay=delay, alpha=alpha,
+                       decode_chunk_frames=args.decode_chunk_frames)
+        sess = StreamSession(cv, scfg, refs, key=key, sampling=sampling,
+                             incremental=not args.window_mode)
+        out = sess.stream_file(src)
+    else:
+        if cv.campplus_params is None:
+            print("[err] offline convert requires speaker encoders (--ckpt-dir)",
+                  file=sys.stderr)
+            out = np.zeros(1024, np.float32)
+        else:
+            out = cv.infer(src, refs, delay=delay, alpha=alpha, key=key,
+                           sampling=sampling, ref_crop_lengths=args.ref_crop_lengths)
+    dur = len(out) / cv.cfg.sample_rate
+    wall = time.time() - t0
+    print(f"converted {dur:.1f}s of audio in {wall:.1f}s (RTF {wall/max(dur,1e-9):.2f})")
+    out_path = args.out or "converted.wav"
+    write_wav(out_path, out, cv.cfg.sample_rate)
+    print(f"wrote {out_path}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="streamvoiceanon_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="voice conversion / anonymization")
+    c.add_argument("--src", required=True)
+    c.add_argument("--ref", required=True, nargs="+")
+    c.add_argument("--out")
+    c.add_argument("--ckpt-dir")
+    c.add_argument("--delay", type=int, default=None)
+    c.add_argument("--alpha", type=float, default=None)
+    c.add_argument("--preset", choices=["max_privacy", "balanced", "max_quality", "low_latency"])
+    c.add_argument("--temperature", type=float, default=0.7)
+    c.add_argument("--top-p", type=float, default=0.7)
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--simulate-streaming", action="store_true")
+    c.add_argument("--window-mode", action="store_true",
+                   help="reference-faithful window-recompute streaming")
+    c.add_argument("--decode-chunk-frames", type=int, default=1)
+    c.add_argument("--ref-crop-lengths", type=float, nargs="+", default=None)
+    c.set_defaults(fn=cmd_convert)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Headless real-time conversion engine (the GUI's audio core, L6).
+
+Equivalent of evaluations/real-time-gui.py:1204-1406 without the tkinter UI:
+an audio producer (device callback or test harness) pushes capture blocks of
+any size into a native SPSC ring; a compute thread assembles fixed
+2048*k-sample chunks, runs the StreamSession, and pushes converted audio into
+an output ring the playback callback drains.  Warm-up runs delay+3 silent
+chunks to trigger compilation before going live (real-time-gui.py:1234-1274).
+
+sounddevice is not available in this image, so device hookup is left to the
+caller: feed `push_input()` from any capture callback and drain
+`pull_output()` from any playback callback.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from streamvoiceanon_tpu.native import RingBuffer
+
+
+class RealtimeEngine:
+    def __init__(self, session, ring_seconds: float = 2.0):
+        self.session = session
+        self.chunk = session.scfg.decode_chunk_frames * session.spf
+        cap = int(ring_seconds * session.cfg.sample_rate)
+        self.in_ring = RingBuffer(cap)
+        self.out_ring = RingBuffer(cap)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.chunks_processed = 0
+        self.last_latency_ms = 0.0
+
+    # ---- audio-thread side -------------------------------------------------
+
+    def push_input(self, block: np.ndarray) -> None:
+        """Call from the capture callback (any block size, mono float32)."""
+        self.in_ring.write(block)
+
+    def pull_output(self, n: int) -> np.ndarray:
+        """Call from the playback callback; returns n samples (zeros on
+        underrun)."""
+        return self.out_ring.read(n)
+
+    # ---- compute side ------------------------------------------------------
+
+    def warm_up(self) -> None:
+        """Compile all chunk phases with silent input
+        (real-time-gui.py:1234-1274)."""
+        for _ in range(self.session.delay + 3):
+            self.session.process_chunk(np.zeros(self.chunk, np.float32))
+
+    def _loop(self):
+        while not self._stop.is_set():
+            if self.in_ring.available() < self.chunk:
+                time.sleep(0.002)
+                continue
+            block = self.in_ring.read(self.chunk)
+            t0 = time.perf_counter()
+            out = self.session.process_chunk(block)
+            self.last_latency_ms = (time.perf_counter() - t0) * 1e3
+            self.out_ring.write(np.asarray(out))
+            self.chunks_processed += 1
+
+    def start(self) -> None:
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
