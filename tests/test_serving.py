@@ -1,0 +1,45 @@
+"""Batched data-parallel serving over the 8-device virtual mesh."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import tinymodels
+from streamvoiceanon_tpu.config import SamplingConfig
+from streamvoiceanon_tpu.parallel.serving import BatchServer, bucket_by_frames
+
+GREEDY = SamplingConfig(greedy=True)
+
+
+def test_bucketing():
+    buckets = bucket_by_frames([5, 12, 30, 7, 64], [8, 32, 64])
+    assert buckets == {8: [0, 3], 32: [1, 2], 64: [4]}
+    with pytest.raises(ValueError):
+        bucket_by_frames([100], [8, 32, 64])
+
+
+def test_batched_convert_matches_single(rng):
+    cv = tinymodels.tiny_converter()
+    server = BatchServer(cv, n_model=1)
+    B, Ts, Tr = 8, 6, 4
+    src = (rng.standard_normal((B, Ts * 2048)) * 0.1).astype(np.float32)
+    ref_wav = (rng.standard_normal((1, Tr * 2048)) * 0.1).astype(np.float32)
+    ref_tokens = np.asarray(cv.content_tokens(jnp.asarray(ref_wav))).repeat(B, 0)
+    ref_codes = np.asarray(cv.audio_codes(jnp.asarray(ref_wav))).repeat(B, 0)
+    style = rng.standard_normal((B, 192)).astype(np.float32)
+    timbre = rng.standard_normal((B, 32, 128)).astype(np.float32)
+
+    wav = server.convert(
+        src, ref_tokens, ref_codes, style, timbre, sampling=GREEDY, delay=2
+    )
+    assert wav.shape == (B, Ts * 2048)
+    assert np.isfinite(wav).all()
+
+    # row 0 must equal a single-utterance conversion (data parallelism must
+    # not change results)
+    wav_single = server.convert(
+        src[:1], ref_tokens[:1], ref_codes[:1], style[:1], timbre[:1],
+        sampling=GREEDY, delay=2,
+    )
+    np.testing.assert_allclose(wav[0], wav_single[0], atol=2e-4)
