@@ -1,0 +1,69 @@
+"""Offline conversion throughput benchmark: audio-seconds/s/chip.
+
+Runs batched offline conversion (parallel/serving.BatchServer) at full model
+size with random weights and reports audio-seconds processed per wall second
+— the scaling metric of BASELINE.md.  Run on N devices to measure scaling
+efficiency (on CPU: XLA_FLAGS=--xla_force_host_platform_device_count=N).
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=64, help="frames per utterance")
+    ap.add_argument("--n-model", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_converter
+    from streamvoiceanon_tpu.config import SamplingConfig
+    from streamvoiceanon_tpu.parallel.serving import BatchServer
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    cv = build_converter(jax.random.PRNGKey(0))
+    server = BatchServer(cv, n_model=args.n_model)
+
+    rng = np.random.default_rng(0)
+    spf = cv.cfg.samples_per_frame
+    B, T = args.batch, args.frames
+    src = (rng.standard_normal((B, T * spf)) * 0.1).astype(np.float32)
+    ref_wav = (rng.standard_normal((1, 32 * spf)) * 0.1).astype(np.float32)
+    ref_tokens = np.asarray(cv.content_tokens(jnp.asarray(ref_wav))).repeat(B, 0)
+    ref_codes = np.asarray(cv.audio_codes(jnp.asarray(ref_wav))).repeat(B, 0)
+    style = rng.standard_normal((B, 192)).astype(np.float32)
+    timbre = rng.standard_normal((B, 32, 128)).astype(np.float32)
+    sampling = SamplingConfig()
+
+    # warm-up/compile
+    t0 = time.time()
+    server.convert(src, ref_tokens, ref_codes, style, timbre,
+                   sampling=sampling, delay=2)
+    print(f"compile+first batch: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = server.convert(src, ref_tokens, ref_codes, style, timbre,
+                             sampling=sampling, delay=2)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    audio_s = B * T * spf / 44100.0
+    thr = audio_s / p50
+    n_dev = len(jax.devices())
+    print(
+        f"batch={B} frames={T} p50={p50:.2f}s  "
+        f"throughput={thr:.2f} audio-s/s  per-chip={thr/n_dev:.2f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

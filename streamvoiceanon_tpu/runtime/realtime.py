@@ -55,16 +55,44 @@ class RealtimeEngine:
             self.session.process_chunk(np.zeros(self.chunk, np.float32))
 
     def _loop(self):
-        while not self._stop.is_set():
-            if self.in_ring.available() < self.chunk:
-                time.sleep(0.002)
-                continue
-            block = self.in_ring.read(self.chunk)
-            t0 = time.perf_counter()
-            out = self.session.process_chunk(block)
-            self.last_latency_ms = (time.perf_counter() - t0) * 1e3
-            self.out_ring.write(np.asarray(out))
-            self.chunks_processed += 1
+        """Compute thread: dispatch-only (no device sync — on the axon
+        runtime a fetch costs a fixed ~25 ms, so materialization happens on
+        the fetcher thread and overlaps the next dispatches)."""
+        import queue
+
+        q: "queue.Queue" = queue.Queue(maxsize=64)
+
+        def fetcher():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                t0, wav = item
+                self.out_ring.write(np.asarray(wav))
+                self.last_latency_ms = (time.perf_counter() - t0) * 1e3
+                self.chunks_processed += 1
+
+        ft = threading.Thread(target=fetcher, daemon=True)
+        ft.start()
+        use_async = getattr(self.session, "incremental", False)
+        try:
+            while not self._stop.is_set():
+                if self.in_ring.available() < self.chunk:
+                    time.sleep(0.002)
+                    continue
+                block = self.in_ring.read(self.chunk)
+                t0 = time.perf_counter()
+                if use_async:
+                    wav = self.session.process_chunk_async(block)
+                    q.put((t0, wav))
+                else:
+                    out = self.session.process_chunk(block)
+                    self.out_ring.write(np.asarray(out))
+                    self.last_latency_ms = (time.perf_counter() - t0) * 1e3
+                    self.chunks_processed += 1
+        finally:
+            q.put(None)
+            ft.join(timeout=5.0)
 
     def start(self) -> None:
         self._stop.clear()

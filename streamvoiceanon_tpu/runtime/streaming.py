@@ -73,17 +73,29 @@ class FusedState(NamedTuple):
     key: jax.Array
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(3,))
-def _chunk_step_fused(params, cfg: PipelineConfig,
-                      sampling: SamplingConfig, state: FusedState, wav_chunk):
-    """Steady-state chunk: encode k new tokens incrementally, decode k frames,
-    vocode k frames — one dispatch, state donated."""
-    tok_params, arvc_params, voc_params = params
+# NOTE: the per-chunk work is deliberately split into THREE jitted programs
+# (incremental encode / LM decode / incremental vocode) instead of one fused
+# program.  Empirically on the axon TPU runtime, one giant fused executable
+# (tokenizer+LM+vocoder, ~550s compile) degrades EVERY subsequent dispatch in
+# the process to ~25-30ms (executable thrash), while the three modest
+# programs run at ~0.4-1ms each with ~0.1ms dispatch overhead.  Buffers are
+# not donated for the same reason (copies are ~0.2ms and harmless).
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _encode_inc(tok_params, cfg: PipelineConfig, tok_state, tok_ring, wav_chunk):
+    """Incremental encode of one chunk + token-ring update."""
     tstate, toks = tokenizer_stream.encode_stream(
-        tok_params, cfg.tokenizer, state.tok, wav_chunk
+        tok_params, cfg.tokenizer, tok_state, wav_chunk
     )
-    tok_ring = jnp.concatenate([state.tok_ring[:, toks.shape[1]:], toks], axis=1)
-    key, sub = jax.random.split(state.key)
+    ring = jnp.concatenate([tok_ring[:, toks.shape[1]:], toks], axis=1)
+    return tstate, ring, toks
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _decode_inc(arvc_params, cfg: PipelineConfig, lm_state, code_ring, toks, 
+                sampling: SamplingConfig, key):
+    """k sequential LM frame decodes + code-ring update."""
 
     def step(carry, tok):
         st, kk = carry
@@ -91,21 +103,15 @@ def _chunk_step_fused(params, cfg: PipelineConfig,
         st, codes = arvc.decode_one(arvc_params, cfg.arvc, st, tok[:, None], s2, sampling)
         return (st, kk), codes
 
-    (lm, _), codes = jax.lax.scan(step, (state.lm, sub), jnp.swapaxes(toks, 0, 1))
+    (lm, _), codes = jax.lax.scan(step, (lm_state, key), jnp.swapaxes(toks, 0, 1))
     codes = jnp.transpose(codes, (1, 2, 0))  # (B, nq, k)
-    code_ring = jnp.concatenate([state.code_ring[:, :, codes.shape[-1]:], codes], axis=-1)
-    voc, wav = vocoder.decode_stream(voc_params, cfg.vocoder, state.voc, codes)
-    return FusedState(tstate, lm, voc, tok_ring, code_ring, key), wav, toks
+    ring = jnp.concatenate([code_ring[:, :, codes.shape[-1]:], codes], axis=-1)
+    return lm, ring, codes
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def _encode_only_fused(cfg: PipelineConfig, tok_params, state: FusedState,
-                       wav_chunk):
-    tstate, toks = tokenizer_stream.encode_stream(
-        tok_params, cfg.tokenizer, state.tok, wav_chunk
-    )
-    ring = jnp.concatenate([state.tok_ring[:, toks.shape[1]:], toks], axis=1)
-    return state._replace(tok=tstate, tok_ring=ring), toks
+@functools.partial(jax.jit, static_argnums=(1,))
+def _vocode_inc(voc_params, cfg: PipelineConfig, voc_state, codes):
+    return vocoder.decode_stream(voc_params, cfg.vocoder, voc_state, codes)
 
 
 class StreamSession:
@@ -167,6 +173,7 @@ class StreamSession:
             self.cv.arvc_params, self.cfg.arvc, self.ref_tokens, self.ref_codes,
             style, timbre, delay=self.delay, cache_dtype=state_dtype,
         )
+        self._lm_pos_host = int(lm_state.decode.pos)
 
         # ---- stream caches
         k = self.scfg.decode_chunk_frames
@@ -214,41 +221,66 @@ class StreamSession:
 
     def process_chunk(self, chunk: np.ndarray) -> np.ndarray:
         if self.incremental:
-            return self._process_chunk_incremental(chunk)
+            return np.asarray(self._process_chunk_incremental(chunk)[0])
         return self._process_chunk_window(chunk)
+
+    def process_chunk_async(self, chunk: np.ndarray) -> "jax.Array":
+        """Dispatch one chunk and return the output wav as a DEVICE array
+        without any host synchronization.
+
+        On the axon runtime a host fetch of a freshly-dispatched chained
+        program pays a fixed ~25 ms penalty, while dispatches themselves cost
+        ~2 ms; fetching from a separate thread (runtime/realtime.py) overlaps
+        that latency so sustained throughput is dispatch-bound.  Returns
+        (2048*k,) samples (zeros during the delay-fill phase)."""
+        assert self.incremental, "async path requires incremental mode"
+        return self._process_chunk_incremental(chunk)[0]
 
     # ------------------------------------------------------------------
     # incremental mode
     # ------------------------------------------------------------------
 
-    def _process_chunk_incremental(self, chunk) -> np.ndarray:
+    def _process_chunk_incremental(self, chunk):
+        """Returns (wav (n,) device array, used_lm: bool)."""
         k = self.scfg.decode_chunk_frames
         n = k * self.spf
         chunk = jnp.asarray(chunk).reshape(1, n)
-        params = (self.cv.tokenizer_params, self.cv.arvc_params, self.cv.vocoder_params)
 
-        if self.tokens_seen + k <= self.delay or not self.delay_prefilled:
-            self.fstate, toks = _encode_only_fused(
-                self.cfg, self.cv.tokenizer_params, self.fstate, chunk
-            )
-            self.tokens_seen += k
+        tstate, ring, toks = _encode_inc(
+            self.cv.tokenizer_params, self.cfg, self.fstate.tok,
+            self.fstate.tok_ring, chunk,
+        )
+        self.fstate = self.fstate._replace(tok=tstate, tok_ring=ring)
+        self.tokens_seen += k
+
+        if self.tokens_seen <= self.delay or not self.delay_prefilled:
             if self.tokens_seen >= self.delay and not self.delay_prefilled:
                 lm = arvc.prefill_src_condition4delay(
                     self.cv.arvc_params, self.cfg.arvc, self.fstate.lm,
                     self.fstate.tok_ring[:, -self.delay :], self.delay,
                 )
                 self.fstate = self.fstate._replace(lm=lm)
+                self._lm_pos_host += 2 * self.delay - 1
                 self.delay_prefilled = True
-            return np.zeros(n, np.float32)
+            return jnp.zeros((n,), jnp.float32), False
 
-        self.fstate, wav, toks = _chunk_step_fused(
-            params, self.cfg, self.sampling, self.fstate, chunk
+        lm, code_ring, codes = _decode_inc(
+            self.cv.arvc_params, self.cfg, self.fstate.lm, self.fstate.code_ring,
+            toks, self.sampling, self._next_key(),
         )
-        self.tokens_seen += k
+        voc, wav = _vocode_inc(self.cv.vocoder_params, self.cfg, self.fstate.voc, codes)
+        self.fstate = self.fstate._replace(lm=lm, code_ring=code_ring, voc=voc)
         self.frames_decoded += k
-        if self._lm_pos() // 2 >= self.scfg.max_seq_frames:
+        # refill scheduling is deterministic: pos advances 2 per frame from a
+        # known start, so track it host-side without any device sync
+        self._lm_pos_host += 2 * k
+        if self._lm_pos_host // 2 >= self.scfg.max_seq_frames:
             self._refill_incremental()
-        return np.asarray(wav[0])
+        return wav[0], True
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
 
     def _refill_incremental(self):
         b = self.scfg.buffer_frames
@@ -265,6 +297,7 @@ class StreamSession:
                 self.fstate.tok_ring[:, -self.delay :], self.delay,
             )
         self.fstate = self.fstate._replace(lm=lm)
+        self._lm_pos_host = int(lm.decode.pos)
 
     def _recent_tokens(self, b):
         if self.delay > 0:
