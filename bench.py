@@ -84,44 +84,48 @@ def main():
         sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
     log(f"warm-up ({n_warm} chunks incl. compile): {time.time()-t0:.1f}s")
 
-    # Steady-state benchmark.  The axon runtime charges a fixed ~25 ms per
-    # host materialization event (independent of size), while dispatches cost
-    # ~2-3 ms; fetching the output of every chunk caps RTF at ~0.6.  The
-    # production pattern bounds outstanding work and amortizes the fetch over
-    # small groups of M chunks (audio still decoded per 46.44 ms frame; the
-    # output pipeline adds M-1 frames of delivery latency).
-    import queue, threading
+    # Steady-state benchmark.  The axon relay executes chained programs
+    # lazily at materialization time and charges a fixed ~20-25 ms per fetch
+    # request (size-independent; sleep-before-fetch does not help), while
+    # dispatches cost ~1ms/program.  Best pattern found: concatenate M
+    # chunks' audio ON DEVICE and fetch one buffer per group (adds M-1
+    # frames of delivery latency; LM still decodes per 46.44 ms frame).
+    import jax as _jax
+
+    cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=-1))
 
     def run_mode(M, n_bench=96):
+        group, lats = [], []
         t_start = time.perf_counter()
-        pend = []
-        lats = []
         for i in range(n_bench):
             t0 = time.perf_counter()
             wav = sess.process_chunk_async(src_wav[(i % 60) * spf : (i % 60 + 1) * spf])
-            pend.append((t0, wav))
-            if len(pend) == M:
-                for t0p, w in pend:
-                    np.asarray(w)
-                    lats.append(time.perf_counter() - t0p)
-                pend = []
-        for t0p, w in pend:
-            np.asarray(w)
-            lats.append(time.perf_counter() - t0p)
+            group.append((t0, wav))
+            if len(group) == M:
+                out = np.asarray(cat([w for _, w in group])) if M > 1 else np.asarray(group[0][1])
+                lats.extend(time.perf_counter() - t for t, _ in group)
+                group = []
+        if group:
+            np.asarray(cat([w for _, w in group]) if len(group) > 1 else group[0][1])
+            lats.extend(time.perf_counter() - t for t, _ in group)
         wall = time.perf_counter() - t_start
         return wall / n_bench, float(np.median(lats))
 
-    period1, lat1 = run_mode(1)
-    log(f"per-chunk fetch:  period={period1*1e3:.2f}ms RTF={period1/FRAME_SECONDS:.3f} p50 latency={lat1*1e3:.1f}ms")
-    period4, lat4 = run_mode(4)
-    log(f"grouped fetch M=4: period={period4*1e3:.2f}ms RTF={period4/FRAME_SECONDS:.3f} p50 latency={lat4*1e3:.1f}ms")
-    rtf = period4 / FRAME_SECONDS
+    results = {}
+    for M in (1, 4, 8, 16):
+        period, lat = run_mode(M)
+        results[M] = (period, lat)
+        log(f"fetch group M={M}: period={period*1e3:.2f}ms RTF={period/FRAME_SECONDS:.3f} "
+            f"p50 delivery latency={lat*1e3:.1f}ms")
+
+    period8, lat8 = results[8]
+    rtf = period8 / FRAME_SECONDS
     print(
         json.dumps(
             {
                 "metric": "streaming_rtf_chunk1",
                 "value": round(rtf, 4),
-                "unit": "sustained chunk period / 46.44ms frame (M=4 grouped output fetch, p50 latency %.0fms; per-chunk-fetch RTF %.2f at %.0fms latency)" % (lat4 * 1e3, period1 / FRAME_SECONDS, lat1 * 1e3),
+                "unit": "sustained chunk period / 46.44ms frame (device-concat fetch M=8, p50 delivery latency %.0fms; M=1: RTF %.2f at %.0fms)" % (lat8 * 1e3, results[1][0] / FRAME_SECONDS, results[1][1] * 1e3),
                 "vs_baseline": round(1.0 / rtf, 2) if rtf > 0 else None,
             }
         )

@@ -1,0 +1,140 @@
+"""Anonymization pipeline + privacy evaluation orchestration.
+
+The framework-side equivalent of the reference `anon/` harness core
+(run_anonymization.py:33-60 + evaluate_asv, SURVEY.md §2.3): convert every
+utterance of a dataset against target-speaker references with noise-mixed
+embeddings, then score speaker verification EER (OO / OA / AA attack
+scenarios) with the framework's own CAMPPlus embeddings, plus
+Cllr/linkability/ZEBRA.
+
+Dataset format: a list of (utt_id, speaker_id, wav) records — adapters for
+kaldi-style wav.scp/utt2spk directories included (anon/utils/data_io.py
+equivalent)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from streamvoiceanon_tpu.audio import fbank as fbank_mod
+from streamvoiceanon_tpu.audio.io import read_wav
+from streamvoiceanon_tpu.audio.resample import resample
+from streamvoiceanon_tpu.evals import privacy_metrics as pm
+from streamvoiceanon_tpu.models import campplus
+
+
+@dataclasses.dataclass
+class Utterance:
+    utt_id: str
+    speaker: str
+    wav: np.ndarray  # @ pipeline sample rate
+
+
+def load_kaldi_dir(path: str, sample_rate: int = 44100) -> List[Utterance]:
+    """Reads wav.scp + utt2spk (kaldi layout, anon/utils/data_io.py:14-43)."""
+    scp = {}
+    with open(os.path.join(path, "wav.scp")) as f:
+        for line in f:
+            utt, wav_path = line.strip().split(None, 1)
+            scp[utt] = wav_path
+    out = []
+    with open(os.path.join(path, "utt2spk")) as f:
+        for line in f:
+            utt, spk = line.strip().split()
+            wav, _ = read_wav(scp[utt], target_sr=sample_rate)
+            out.append(Utterance(utt, spk, wav))
+    return out
+
+
+def anonymize_dataset(
+    converter,
+    utterances: Sequence[Utterance],
+    target_refs: Sequence[np.ndarray],
+    *,
+    alpha: float = 0.7,
+    delay: int = 2,
+    seed: int = 0,
+    per_speaker_targets: bool = True,
+) -> List[Utterance]:
+    """Converts each utterance to the target speaker(s) with noise mixing.
+
+    With `per_speaker_targets`, each source speaker is deterministically
+    assigned one target reference (consistent pseudo-speaker per speaker,
+    the VPC-style anonymization policy)."""
+    rng = np.random.default_rng(seed)
+    speakers = sorted({u.speaker for u in utterances})
+    spk_target = {
+        s: target_refs[rng.integers(len(target_refs))] if per_speaker_targets else None
+        for s in speakers
+    }
+    out = []
+    for u in utterances:
+        ref = spk_target[u.speaker] if per_speaker_targets else target_refs[
+            rng.integers(len(target_refs))
+        ]
+        key = jax.random.PRNGKey(hash((seed, u.speaker)) & 0x7FFFFFFF)
+        wav = converter.infer(u.wav, [ref], delay=delay, alpha=alpha, key=key)
+        out.append(Utterance(u.utt_id, u.speaker, np.asarray(wav)))
+    return out
+
+
+def speaker_embeddings(
+    campplus_params, cfg, utterances: Sequence[Utterance], sample_rate: int = 44100
+) -> np.ndarray:
+    """CAMPPlus embeddings (B, 192) for scoring."""
+    embs = []
+    for u in utterances:
+        w16 = resample(jnp.asarray(u.wav)[None], sample_rate, 16000)
+        feat = fbank_mod.fbank(w16)
+        feat = feat - jnp.mean(feat, axis=1, keepdims=True)
+        lens = jnp.full((1,), feat.shape[1] // 2, jnp.int32)
+        embs.append(np.asarray(campplus.apply(campplus_params, cfg, feat, lens))[0])
+    return np.stack(embs)
+
+
+def asv_scenarios(
+    enroll_orig: Sequence[Utterance],
+    trial_orig: Sequence[Utterance],
+    trial_anon: Sequence[Utterance],
+    campplus_params,
+    cfg,
+    enroll_anon: Optional[Sequence[Utterance]] = None,
+) -> Dict[str, Dict[str, float]]:
+    """EER + Cllr + linkability for the VPC attack scenarios
+    (evaluate_asv.py:26-46):
+      OO: original enroll vs original trials (baseline)
+      OA: original enroll vs anonymized trials (ignorant attacker)
+      AA: anonymized enroll vs anonymized trials (informed attacker)
+    """
+    e_o = speaker_embeddings(campplus_params, cfg, enroll_orig)
+    t_o = speaker_embeddings(campplus_params, cfg, trial_orig)
+    t_a = speaker_embeddings(campplus_params, cfg, trial_anon)
+    labels_e = np.asarray([u.speaker for u in enroll_orig])
+    labels_t = np.asarray([u.speaker for u in trial_orig])
+
+    def scores(e, t):
+        s = pm.cosine_scores(e, t)
+        same = labels_e[:, None] == labels_t[None, :]
+        return s[same], s[~same]
+
+    out = {}
+    pairs = {"OO": (e_o, t_o), "OA": (e_o, t_a)}
+    if enroll_anon is not None:
+        pairs["AA"] = (speaker_embeddings(campplus_params, cfg, enroll_anon), t_a)
+    for name, (e, t) in pairs.items():
+        tar, non = scores(e, t)
+        dece, max_llr, tag = pm.zebra(tar, non)
+        out[name] = {
+            "eer": pm.eer(tar, non)[0],
+            "cllr_min": pm.min_cllr(tar, non),
+            "linkability": pm.linkability(tar, non),
+            "zebra_dece": dece,
+            "zebra_max_llr": max_llr,
+        }
+    return out
