@@ -48,11 +48,36 @@ def mel_init_state(cfg, batch: int = 1) -> MelState:
     return MelState(jnp.zeros((batch, cfg.win_length - cfg.hop_length), jnp.float32))
 
 
-def mel_stream(state: MelState, wav_chunk: jax.Array, cfg) -> Tuple[MelState, jax.Array]:
+def mel_consts(cfg) -> dict:
+    """Device-residency-friendly spectral tables.  Passed as ARGUMENTS to the
+    jitted chunk programs instead of being baked in as constants: on the axon
+    relay, program constants are re-shipped per execution (~1ms/16MB), while
+    argument buffers stay device-resident."""
+    return {
+        "dft": jnp.asarray(stft._dft_kernel(cfg.n_fft, cfg.win_length)),
+        "fb": jnp.asarray(stft._mel_matrix(cfg)),
+    }
+
+
+def mel_stream(state: MelState, wav_chunk: jax.Array, cfg,
+               consts: dict = None) -> Tuple[MelState, jax.Array]:
     """(B, k*hop) samples -> (B, k, n_mels); equals causal log_mel of the
     full signal at the corresponding frames."""
     x = jnp.concatenate([state.tail, wav_chunk.astype(jnp.float32)], axis=1)
-    mel = stft.log_mel_spectrogram(x, cfg, causal_pad=False)
+    if consts is None:
+        mel = stft.log_mel_spectrogram(x, cfg, causal_pad=False)
+    else:
+        spec = jax.lax.conv_general_dilated(
+            x[:, :, None], consts["dft"], window_strides=(cfg.hop_length,),
+            padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        n_bins = cfg.n_fft // 2 + 1
+        re, im = spec[..., :n_bins], spec[..., n_bins:]
+        mag = jnp.sqrt(re * re + im * im + 1e-6)
+        mel = jnp.log(jnp.clip(jnp.einsum(
+            "btf,fm->btm", mag, consts["fb"], preferred_element_type=jnp.float32
+        ), min=1e-5))
     new_tail = x[:, x.shape[1] - (cfg.win_length - cfg.hop_length):]
     return MelState(new_tail), mel
 
@@ -240,12 +265,13 @@ def init_stream_state(params: Dict, cfg: TokenizerConfig, batch: int = 1,
 
 
 def encode_stream(
-    params: Dict, cfg: TokenizerConfig, state: TokenizerStreamState, wav_chunk: jax.Array
+    params: Dict, cfg: TokenizerConfig, state: TokenizerStreamState,
+    wav_chunk: jax.Array, consts: dict = None,
 ) -> Tuple[TokenizerStreamState, jax.Array]:
     """(state, (B, k*2048) samples) -> (state', (B, k) content tokens).
 
     Exactly prefix-consistent with tokenizer.encode on the whole signal."""
-    mel_state, mel = mel_stream(state.mel, wav_chunk, cfg.mel)
+    mel_state, mel = mel_stream(state.mel, wav_chunk, cfg.mel, consts)
     bb_state, feat = convnext_encoder_apply_stream(
         params["backbone"], cfg.backbone, state.backbone, mel
     )

@@ -83,10 +83,11 @@ class FusedState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _encode_inc(tok_params, cfg: PipelineConfig, tok_state, tok_ring, wav_chunk):
+def _encode_inc(tok_params, cfg: PipelineConfig, tok_state, tok_ring, wav_chunk,
+                mel_consts):
     """Incremental encode of one chunk + token-ring update."""
     tstate, toks = tokenizer_stream.encode_stream(
-        tok_params, cfg.tokenizer, tok_state, wav_chunk
+        tok_params, cfg.tokenizer, tok_state, wav_chunk, mel_consts
     )
     ring = jnp.concatenate([tok_ring[:, toks.shape[1]:], toks], axis=1)
     return tstate, ring, toks
@@ -112,6 +113,25 @@ def _decode_inc(arvc_params, cfg: PipelineConfig, lm_state, code_ring, toks,
 @functools.partial(jax.jit, static_argnums=(1,))
 def _vocode_inc(voc_params, cfg: PipelineConfig, voc_state, codes):
     return vocoder.decode_stream(voc_params, cfg.vocoder, voc_state, codes)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 7))
+def _decode_vocode_inc(arvc_params, voc_params, cfg: PipelineConfig, lm_state,
+                       code_ring, voc_state, toks, sampling: SamplingConfig, key):
+    """Merged LM decode + incremental vocode (one fewer program per chunk —
+    per-program replay costs dominate on the axon relay)."""
+
+    def step(carry, tok):
+        st, kk = carry
+        kk, s2 = jax.random.split(kk)
+        st, codes = arvc.decode_one(arvc_params, cfg.arvc, st, tok[:, None], s2, sampling)
+        return (st, kk), codes
+
+    (lm, _), codes = jax.lax.scan(step, (lm_state, key), jnp.swapaxes(toks, 0, 1))
+    codes = jnp.transpose(codes, (1, 2, 0))
+    ring = jnp.concatenate([code_ring[:, :, codes.shape[-1]:], codes], axis=-1)
+    voc, wav = vocoder.decode_stream(voc_params, cfg.vocoder, voc_state, codes)
+    return lm, ring, voc, wav
 
 
 class StreamSession:
@@ -183,6 +203,7 @@ class StreamSession:
         self.delay_prefilled = self.delay == 0
 
         if incremental:
+            self._mel_consts = tokenizer_stream.mel_consts(self.cfg.tokenizer.mel)
             self.fstate = FusedState(
                 tok=tokenizer_stream.init_stream_state(
                     self.cv.tokenizer_params, self.cfg.tokenizer, 1, state_dtype
@@ -248,7 +269,7 @@ class StreamSession:
 
         tstate, ring, toks = _encode_inc(
             self.cv.tokenizer_params, self.cfg, self.fstate.tok,
-            self.fstate.tok_ring, chunk,
+            self.fstate.tok_ring, chunk, self._mel_consts,
         )
         self.fstate = self.fstate._replace(tok=tstate, tok_ring=ring)
         self.tokens_seen += k
@@ -264,11 +285,11 @@ class StreamSession:
                 self.delay_prefilled = True
             return jnp.zeros((n,), jnp.float32), False
 
-        lm, code_ring, codes = _decode_inc(
-            self.cv.arvc_params, self.cfg, self.fstate.lm, self.fstate.code_ring,
-            toks, self.sampling, self._next_key(),
+        lm, code_ring, voc, wav = _decode_vocode_inc(
+            self.cv.arvc_params, self.cv.vocoder_params, self.cfg,
+            self.fstate.lm, self.fstate.code_ring, self.fstate.voc, toks,
+            self.sampling, self._next_key(),
         )
-        voc, wav = _vocode_inc(self.cv.vocoder_params, self.cfg, self.fstate.voc, codes)
         self.fstate = self.fstate._replace(lm=lm, code_ring=code_ring, voc=voc)
         self.frames_decoded += k
         # refill scheduling is deterministic: pos advances 2 per frame from a
