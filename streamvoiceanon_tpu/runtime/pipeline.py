@@ -61,18 +61,11 @@ class VoiceConverter:
 
     def style_vector(self, wav16k: jax.Array) -> jax.Array:
         """CAMPPlus style vec from 16 kHz audio (infer_arvc.py:179-211)."""
-        feat = fbank_mod.fbank(wav16k)
-        feat = feat - jnp.mean(feat, axis=1, keepdims=True)
-        lens = jnp.full((feat.shape[0],), feat.shape[1] // 2, jnp.int32)
-        return campplus.apply(self.campplus_params, self.cfg.campplus, feat, lens)
+        return _style_vector(self.campplus_params, self.cfg, wav16k)
 
     def timbre_latents(self, wav16k: jax.Array) -> jax.Array:
         """SparkTTS timbre latents (B, 32, 128) (infer_arvc.py:213-223)."""
-        lens = jnp.full((wav16k.shape[0],), wav16k.shape[-1], jnp.int32)
-        zq, _ = speaker_encoder.tokenize_wav(
-            self.speaker_params, self.cfg.speaker, wav16k, lens
-        )
-        return zq
+        return _timbre_latents(self.speaker_params, self.cfg, wav16k)
 
     def speaker_embeddings(
         self,
@@ -155,6 +148,21 @@ class VoiceConverter:
 # ---------------------------------------------------------------------------
 # jitted kernels (static configs via closure-free partial static args)
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _style_vector(params, cfg: PipelineConfig, wav16k):
+    feat = fbank_mod.fbank(wav16k)
+    feat = feat - jnp.mean(feat, axis=1, keepdims=True)
+    lens = jnp.full((feat.shape[0],), feat.shape[1] // 2, jnp.int32)
+    return campplus.apply(params, cfg.campplus, feat, lens)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _timbre_latents(params, cfg: PipelineConfig, wav16k):
+    lens = jnp.full((wav16k.shape[0],), wav16k.shape[-1], jnp.int32)
+    zq, _ = speaker_encoder.tokenize_wav(params, cfg.speaker, wav16k, lens)
+    return zq
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -39,6 +39,22 @@ from streamvoiceanon_tpu.models import arvc, tokenizer, tokenizer_stream, vocode
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(1, 6, 7))
+def _prefill_prompt(arvc_params, cfg: PipelineConfig, ref_tokens, ref_codes,
+                    style, timbre, delay: int, cache_dtype):
+    return arvc.prefill_prompt(
+        arvc_params, cfg.arvc, ref_tokens, ref_codes, style, timbre,
+        delay=delay, cache_dtype=cache_dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4))
+def _prefill_delay(arvc_params, cfg: PipelineConfig, lm_state, src_tokens, delay: int):
+    return arvc.prefill_src_condition4delay(
+        arvc_params, cfg.arvc, lm_state, src_tokens, delay
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _encode_window(params, cfg: PipelineConfig, wav_window):
     return tokenizer.encode(params, cfg.tokenizer, wav_window)
@@ -189,9 +205,9 @@ class StreamSession:
         self.timbre = timbre
         self.Tp = self.ref_tokens.shape[1]
 
-        lm_state = arvc.prefill_prompt(
-            self.cv.arvc_params, self.cfg.arvc, self.ref_tokens, self.ref_codes,
-            style, timbre, delay=self.delay, cache_dtype=state_dtype,
+        lm_state = _prefill_prompt(
+            self.cv.arvc_params, self.cfg, self.ref_tokens, self.ref_codes,
+            style, timbre, self.delay, state_dtype,
         )
         self._lm_pos_host = int(lm_state.decode.pos)
 
@@ -276,8 +292,8 @@ class StreamSession:
 
         if self.tokens_seen <= self.delay or not self.delay_prefilled:
             if self.tokens_seen >= self.delay and not self.delay_prefilled:
-                lm = arvc.prefill_src_condition4delay(
-                    self.cv.arvc_params, self.cfg.arvc, self.fstate.lm,
+                lm = _prefill_delay(
+                    self.cv.arvc_params, self.cfg, self.fstate.lm,
                     self.fstate.tok_ring[:, -self.delay :], self.delay,
                 )
                 self.fstate = self.fstate._replace(lm=lm)
@@ -305,16 +321,15 @@ class StreamSession:
 
     def _refill_incremental(self):
         b = self.scfg.buffer_frames
-        lm = arvc.prefill_prompt(
-            self.cv.arvc_params, self.cfg.arvc,
+        lm = _prefill_prompt(
+            self.cv.arvc_params, self.cfg,
             jnp.concatenate([self.ref_tokens, self._recent_tokens(b)], axis=-1),
             jnp.concatenate([self.ref_codes, self._recent_codes(b)], axis=-1),
-            self.style, self.timbre, delay=self.delay,
-            cache_dtype=self.state_dtype,
+            self.style, self.timbre, self.delay, self.state_dtype,
         )
         if self.delay > 0:
-            lm = arvc.prefill_src_condition4delay(
-                self.cv.arvc_params, self.cfg.arvc, lm,
+            lm = _prefill_delay(
+                self.cv.arvc_params, self.cfg, lm,
                 self.fstate.tok_ring[:, -self.delay :], self.delay,
             )
         self.fstate = self.fstate._replace(lm=lm)
@@ -346,8 +361,8 @@ class StreamSession:
         if self.tokens_seen < self.delay:
             return np.zeros(n, np.float32)
         if not self.delay_prefilled:
-            self.state = arvc.prefill_src_condition4delay(
-                self.cv.arvc_params, self.cfg.arvc, self.state,
+            self.state = _prefill_delay(
+                self.cv.arvc_params, self.cfg, self.state,
                 self.tok_ring[:, -self.delay :], self.delay,
             )
             self.delay_prefilled = True
@@ -379,13 +394,13 @@ class StreamSession:
         else:
             tok_hist = self.tok_ring[:, -b:]
         ext_tokens = jnp.concatenate([self.ref_tokens, tok_hist], axis=-1)
-        self.state = arvc.prefill_prompt(
-            self.cv.arvc_params, self.cfg.arvc, ext_tokens, ext_codes,
-            self.style, self.timbre, delay=self.delay,
+        self.state = _prefill_prompt(
+            self.cv.arvc_params, self.cfg, ext_tokens, ext_codes,
+            self.style, self.timbre, self.delay, jnp.float32,
         )
         if self.delay > 0:
-            self.state = arvc.prefill_src_condition4delay(
-                self.cv.arvc_params, self.cfg.arvc, self.state,
+            self.state = _prefill_delay(
+                self.cv.arvc_params, self.cfg, self.state,
                 self.tok_ring[:, -self.delay :], self.delay,
             )
 

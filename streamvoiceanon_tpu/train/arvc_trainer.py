@@ -183,15 +183,25 @@ class ARVCTrainer:
 
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self, path: Optional[str] = None) -> str:
+    def save_checkpoint(self, path: Optional[str] = None, keep_last: int = 1) -> str:
+        """Orbax save with keep-last-N rotation (arvc_trainer.py:479-500)."""
+        import shutil
+
         import orbax.checkpoint as ocp
 
-        path = path or os.path.join(
-            os.path.abspath(self.tcfg.log_dir), f"ckpt_{int(self.state.step)}"
-        )
+        step = int(self.state.step)
+        base = os.path.abspath(self.tcfg.log_dir)
+        path = path or os.path.join(base, f"ckpt_{step}")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, self.state.params, force=True)
         ckptr.wait_until_finished()
+        if keep_last:
+            old = sorted(
+                (d for d in os.listdir(base) if d.startswith("ckpt_")),
+                key=lambda d: int(d.split("_")[1]),
+            )[:-keep_last]
+            for d in old:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         return path
 
     def load_checkpoint(self, path: str) -> None:
@@ -199,4 +209,41 @@ class ARVCTrainer:
 
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, self.state.params)
-        self.state = TrainState(restored, self.state.opt_state, self.state.step)
+        step = int(path.rstrip("/").rsplit("_", 1)[-1]) if "_" in path else 0
+        self.state = TrainState(restored, self.state.opt_state, jnp.int32(step))
+
+    def resume_latest(self) -> Optional[str]:
+        """Resume from the highest-step checkpoint in log_dir (the reference's
+        glob-latest behavior, arvc_trainer.py:203-241)."""
+        base = os.path.abspath(self.tcfg.log_dir)
+        cands = [d for d in os.listdir(base) if d.startswith("ckpt_")] if os.path.isdir(base) else []
+        if not cands:
+            return None
+        latest = max(cands, key=lambda d: int(d.split("_")[1]))
+        path = os.path.join(base, latest)
+        self.load_checkpoint(path)
+        return path
+
+    def log_audio_sample(self, batch: Dict, step: Optional[int] = None) -> None:
+        """Periodic reconstruction logging (arvc_trainer.py:446-477): run the
+        model's offline generate on the first utterance of the batch and log
+        the vocoded audio to tensorboard."""
+        if self._tb is None:
+            return
+        from streamvoiceanon_tpu.models import arvc as arvc_mod
+        from streamvoiceanon_tpu.models import vocoder as voc_mod
+
+        waves = jnp.asarray(batch["waves"][:1])
+        with self.mesh:
+            feats = self._features(waves, jnp.asarray(batch["frame_lens"][:1]))
+            codes = arvc_mod.generate(
+                self.state.params, self.cfg.arvc, feats["content"][:, :16],
+                feats["target"][:, :, :16], feats["content"], feats["style"],
+                feats["timbre"], jax.random.PRNGKey(0),
+            )
+            wav = voc_mod.decode(self.frozen["vocoder"], self.cfg.vocoder, codes)
+        self._tb.add_audio(
+            "train/reconstruction", np.asarray(wav)[0, :, None],
+            step if step is not None else int(self.state.step),
+            sample_rate=self.cfg.sample_rate,
+        )
