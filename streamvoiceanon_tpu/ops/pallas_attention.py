@@ -41,19 +41,28 @@ def _kernel(pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, o_ref, kc_out, vc_ou
     S = kc_ref.shape[0]
     D = q_ref.shape[1]
 
-    # copy-through (no-op under true aliasing, correctness under interpret)
-    kc_out[...] = kc_ref[...]
-    vc_out[...] = vc_ref[...]
-    kc_out[pl.ds(pos, T), :] = kn_ref[...].astype(kc_out.dtype)
-    vc_out[pl.ds(pos, T), :] = vn_ref[...].astype(vc_out.dtype)
+    # cache update as masked full-block writes: Mosaic cannot prove tile
+    # alignment for a dynamic-row vector store (pos is any even number), so
+    # select the T new rows in with broadcasted row-index compares instead.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    k_new = kc_ref[...]
+    v_new = vc_ref[...]
+    for t in range(T):
+        sel = rows == pos + t
+        k_new = jnp.where(sel, kn_ref[t, :][None, :].astype(k_new.dtype), k_new)
+        v_new = jnp.where(sel, vn_ref[t, :][None, :].astype(v_new.dtype), v_new)
+    kc_out[...] = k_new
+    vc_out[...] = v_new
 
-    k = kc_out[...].astype(jnp.float32)
-    v = vc_out[...].astype(jnp.float32)
+    k = k_new.astype(jnp.float32)
+    v = v_new.astype(jnp.float32)
     q = q_ref[...].astype(jnp.float32)
 
+    # q arrives pre-scaled by 1/sqrt(true_head_dim) (wrapper), so padding the
+    # head dim does not distort the softmax temperature
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) / np.sqrt(D)  # (T, S)
+    )  # (T, S)
     col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
     mask = col <= pos + row
@@ -78,6 +87,24 @@ def decode_attention(
 ):
     """Returns (out (H, T, D), k_cache', v_cache') with caches updated
     in place (donated/aliased)."""
+    H, T, D = q.shape
+    S = k_cache.shape[1]
+    q = (q.astype(jnp.float32) / np.sqrt(D)).astype(q.dtype)
+    if D % 128 != 0:
+        # Mosaic requires 128-lane-aligned blocks; zero-pad the head dim
+        # (zeros are inert in both dot products).  Production integration
+        # keeps caches pre-padded to avoid the per-call pad/slice.
+        pad = 128 - D % 128
+        padw = ((0, 0), (0, 0), (0, pad))
+        out, kc, vc = _call_kernel(
+            jnp.pad(q, padw), jnp.pad(k_new, padw), jnp.pad(v_new, padw),
+            jnp.pad(k_cache, padw), jnp.pad(v_cache, padw), pos, interpret,
+        )
+        return out[..., :D], kc[..., :D], vc[..., :D]
+    return _call_kernel(q, k_new, v_new, k_cache, v_cache, pos, interpret)
+
+
+def _call_kernel(q, k_new, v_new, k_cache, v_cache, pos, interpret):
     H, T, D = q.shape
     S = k_cache.shape[1]
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
