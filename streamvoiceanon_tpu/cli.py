@@ -116,9 +116,48 @@ def cmd_convert(args):
     print(f"wrote {out_path}")
 
 
+def cmd_batch(args):
+    """SeedTTS-style testset runner (evaluations/infer_seedtts_testset.py:5-48):
+    meta.lst lines `name|prompt_wav|source_wav` -> converted wavs in out dir."""
+    import os
+
+    import jax
+
+    from streamvoiceanon_tpu.audio.io import read_wav, write_wav
+    from streamvoiceanon_tpu.config import SamplingConfig
+
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    sampling = SamplingConfig(temperature=args.temperature, top_p=args.top_p)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(args.meta) as f:
+        for line in f:
+            parts = line.strip().split("|")
+            if len(parts) < 3:
+                continue
+            name, prompt_path, src_path = parts[0], parts[1], parts[2]
+            src, _ = read_wav(src_path, target_sr=cv.cfg.sample_rate)
+            ref, _ = read_wav(prompt_path, target_sr=cv.cfg.sample_rate)
+            out = cv.infer(src, [ref], delay=args.delay, alpha=args.alpha,
+                           key=jax.random.PRNGKey(args.seed), sampling=sampling)
+            write_wav(os.path.join(args.out_dir, f"{name}.wav"), out,
+                      cv.cfg.sample_rate)
+            print(f"wrote {name}.wav")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="streamvoiceanon_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("batch", help="meta.lst testset conversion (SeedTTS style)")
+    b.add_argument("--meta", required=True)
+    b.add_argument("--out-dir", default="audio_outputs")
+    b.add_argument("--ckpt-dir")
+    b.add_argument("--delay", type=int, default=2)
+    b.add_argument("--alpha", type=float, default=1.0)
+    b.add_argument("--temperature", type=float, default=0.7)
+    b.add_argument("--top-p", type=float, default=0.7)
+    b.add_argument("--seed", type=int, default=0)
+    b.set_defaults(fn=cmd_batch)
 
     c = sub.add_parser("convert", help="voice conversion / anonymization")
     c.add_argument("--src", required=True)

@@ -23,6 +23,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize (args auto-detected on
+    TPU pods).  After this, jax.devices() spans all hosts and make_mesh
+    builds a global mesh; feed per-host batches via
+    jax.make_array_from_process_local_data (SURVEY.md §2.4 TPU-native plan:
+    no NCCL/MPI layer — ICI intra-slice, DCN across hosts, collectives
+    inserted by XLA)."""
+    import jax.distributed
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def global_batch_from_local(local_batch, mesh: Mesh):
+    """Per-host local shard (B_local, ...) -> globally-sharded array over the
+    'data' axis (the split_dataset_by_node counterpart on the device side)."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), np.asarray(x)
+        ),
+        local_batch,
+    )
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
