@@ -37,6 +37,12 @@ def build_converter_from_ckpts(ckpt_dir: str | None, seed: int = 0):
             arvc_params=jax.device_put(
                 jax.tree.map(jnp.asarray, rp.arvc_params_np(cfg.arvc, seed + 2)), dev
             ),
+            campplus_params=jax.device_put(
+                rp.campplus_params_np(cfg.campplus, seed + 3), dev
+            ),
+            speaker_params=jax.device_put(
+                rp.speaker_encoder_params_np(cfg.speaker, seed + 4), dev
+            ),
         )
 
     import os
@@ -101,13 +107,8 @@ def cmd_convert(args):
                              incremental=not args.window_mode)
         out = sess.stream_file(src)
     else:
-        if cv.campplus_params is None:
-            print("[err] offline convert requires speaker encoders (--ckpt-dir)",
-                  file=sys.stderr)
-            out = np.zeros(1024, np.float32)
-        else:
-            out = cv.infer(src, refs, delay=delay, alpha=alpha, key=key,
-                           sampling=sampling, ref_crop_lengths=args.ref_crop_lengths)
+        out = cv.infer(src, refs, delay=delay, alpha=alpha, key=key,
+                       sampling=sampling, ref_crop_lengths=args.ref_crop_lengths)
     dur = len(out) / cv.cfg.sample_rate
     wall = time.time() - t0
     print(f"converted {dur:.1f}s of audio in {wall:.1f}s (RTF {wall/max(dur,1e-9):.2f})")
