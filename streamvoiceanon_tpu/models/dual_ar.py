@@ -316,7 +316,7 @@ def _fast_decode(
                 greedy=sampling.greedy, top_k_window=sampling.top_k_window,
             )
         )(jax.random.split(k, B), logits)
-        next_x = jnp.take(params["fast_embeddings"], code, axis=0)[:, None]
+        next_x = jnp.take(params["fast_embeddings"], code, axis=0)[:, None].astype(x.dtype)
         return (next_x, kc, vc, pos + 1), code
 
     init = (

@@ -137,12 +137,23 @@ class VoiceConverter:
         ref_tokens = self.content_tokens(ref_cat)
         src_tokens = self.content_tokens(src)
 
+        # shape bucketing so utterance lengths don't trigger recompiles:
+        # crop the reference prompt down to a multiple of 8 frames (prompt
+        # cropping is semantically free) and right-pad the source tokens up
+        # to a multiple of 16 (causality makes the junk tail inert).
+        Tr = max(ref_tokens.shape[1] // 8 * 8, min(8, ref_tokens.shape[1]))
+        ref_tokens = ref_tokens[:, :Tr]
+        ref_codes = ref_codes[:, :, :Tr]
+        Ts = src_tokens.shape[1]
+        Ts_pad = -(-Ts // 16) * 16
+        src_tokens = jnp.pad(src_tokens, ((0, 0), (0, Ts_pad - Ts)))
+
         codes = _generate(
             self.arvc_params, self.cfg, ref_tokens, ref_codes, src_tokens,
             style, timbre, k_gen, sampling, delay,
         )
         wav = _vocode(self.vocoder_params, self.cfg, codes)
-        return np.asarray(wav)[0]
+        return np.asarray(wav)[0, : Ts * self.cfg.samples_per_frame]
 
 
 # ---------------------------------------------------------------------------

@@ -197,7 +197,8 @@ class ARVCTrainer:
         ckptr.wait_until_finished()
         if keep_last:
             old = sorted(
-                (d for d in os.listdir(base) if d.startswith("ckpt_")),
+                (d for d in os.listdir(base)
+                 if d.startswith("ckpt_") and d.split("_")[1].isdigit()),
                 key=lambda d: int(d.split("_")[1]),
             )[:-keep_last]
             for d in old:
@@ -209,7 +210,8 @@ class ARVCTrainer:
 
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(path, self.state.params)
-        step = int(path.rstrip("/").rsplit("_", 1)[-1]) if "_" in path else 0
+        tail = path.rstrip("/").rsplit("_", 1)[-1]
+        step = int(tail) if tail.isdigit() else 0
         self.state = TrainState(restored, self.state.opt_state, jnp.int32(step))
 
     def resume_latest(self) -> Optional[str]:
