@@ -173,6 +173,7 @@ class StreamSession:
         ref_codes: Optional[jax.Array] = None,
         incremental: bool = True,
         state_dtype=jnp.float32,
+        batch: int = 1,
     ):
         self.cv = converter
         self.cfg: PipelineConfig = converter.cfg
@@ -183,6 +184,7 @@ class StreamSession:
         self.delay = self.scfg.delay
         self.incremental = incremental
         self.state_dtype = state_dtype
+        self.batch = batch
 
         # ---- prompt computation (prefill_prompt, infer_arvc.py:463-489)
         if ref_wavs is not None:
@@ -219,18 +221,19 @@ class StreamSession:
         self.delay_prefilled = self.delay == 0
 
         if incremental:
+            B = batch
             self._mel_consts = tokenizer_stream.mel_consts(self.cfg.tokenizer.mel)
             self.fstate = FusedState(
                 tok=tokenizer_stream.init_stream_state(
-                    self.cv.tokenizer_params, self.cfg.tokenizer, 1, state_dtype
+                    self.cv.tokenizer_params, self.cfg.tokenizer, B, state_dtype
                 ),
                 lm=lm_state,
                 voc=vocoder.init_stream_state(
-                    self.cv.vocoder_params, self.cfg.vocoder, 1, state_dtype
+                    self.cv.vocoder_params, self.cfg.vocoder, B, state_dtype
                 ),
-                tok_ring=jnp.zeros((1, self.tok_ring_len), jnp.int32),
+                tok_ring=jnp.zeros((B, self.tok_ring_len), jnp.int32),
                 code_ring=jnp.zeros(
-                    (1, self.cfg.arvc.decoder.num_codebooks, self.tok_ring_len),
+                    (B, self.cfg.arvc.decoder.num_codebooks, self.tok_ring_len),
                     jnp.int32,
                 ),
                 key=self.key,
@@ -258,7 +261,8 @@ class StreamSession:
 
     def process_chunk(self, chunk: np.ndarray) -> np.ndarray:
         if self.incremental:
-            return np.asarray(self._process_chunk_incremental(chunk)[0])
+            out = np.asarray(self._process_chunk_incremental(chunk)[0])
+            return out[0] if self.batch == 1 else out
         return self._process_chunk_window(chunk)
 
     def process_chunk_async(self, chunk: np.ndarray) -> "jax.Array":
@@ -271,7 +275,8 @@ class StreamSession:
         that latency so sustained throughput is dispatch-bound.  Returns
         (2048*k,) samples (zeros during the delay-fill phase)."""
         assert self.incremental, "async path requires incremental mode"
-        return self._process_chunk_incremental(chunk)[0]
+        wav = self._process_chunk_incremental(chunk)[0]
+        return wav[0] if self.batch == 1 else wav
 
     # ------------------------------------------------------------------
     # incremental mode
@@ -281,7 +286,7 @@ class StreamSession:
         """Returns (wav (n,) device array, used_lm: bool)."""
         k = self.scfg.decode_chunk_frames
         n = k * self.spf
-        chunk = jnp.asarray(chunk).reshape(1, n)
+        chunk = jnp.asarray(chunk).reshape(self.batch, n)
 
         tstate, ring, toks = _encode_inc(
             self.cv.tokenizer_params, self.cfg, self.fstate.tok,
@@ -299,7 +304,7 @@ class StreamSession:
                 self.fstate = self.fstate._replace(lm=lm)
                 self._lm_pos_host += 2 * self.delay - 1
                 self.delay_prefilled = True
-            return jnp.zeros((n,), jnp.float32), False
+            return jnp.zeros((self.batch, n), jnp.float32), False
 
         lm, code_ring, voc, wav = _decode_vocode_inc(
             self.cv.arvc_params, self.cv.vocoder_params, self.cfg,
@@ -313,7 +318,7 @@ class StreamSession:
         self._lm_pos_host += 2 * k
         if self._lm_pos_host // 2 >= self.scfg.max_seq_frames:
             self._refill_incremental()
-        return wav[0], True
+        return wav, True
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
