@@ -1,0 +1,79 @@
+"""Concurrent-stream serving benchmark: N live streams in one batched
+session (BASELINE config 5 single-chip slice).  Reports streams sustainable
+in real time and audio-seconds/s."""
+
+import argparse
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+FRAME_SECONDS = 2048 / 44100
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--chunks", type=int, default=64)
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_converter
+    from streamvoiceanon_tpu.config import SamplingConfig
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    cv = build_converter(jax.random.PRNGKey(0))
+    B = args.streams
+    rng = np.random.default_rng(0)
+    spf = cv.cfg.samples_per_frame
+    ref = (rng.standard_normal((1, 48 * spf)) * 0.1).astype(np.float32)
+    ref_tokens = jnp.repeat(cv.content_tokens(jnp.asarray(ref)), B, 0)
+    ref_codes = jnp.repeat(cv.audio_codes(jnp.asarray(ref)), B, 0)
+    style = jnp.asarray(rng.standard_normal((B, 192)).astype(np.float32), jnp.bfloat16)
+    timbre = jnp.asarray(rng.standard_normal((B, 32, 128)).astype(np.float32), jnp.bfloat16)
+
+    sess = StreamSession(
+        cv, cv.cfg.stream, key=jax.random.PRNGKey(1), sampling=SamplingConfig(),
+        style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+        batch=B,
+    )
+    src = (rng.standard_normal((B, 80 * spf)) * 0.1).astype(np.float32)
+    t0 = time.time()
+    for i in range(cv.cfg.stream.delay + 2):
+        sess.process_chunk(src[:, i * spf : (i + 1) * spf])
+    print(f"warm-up: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=-1))
+    group = []
+    t0 = time.perf_counter()
+    n = args.chunks
+    for i in range(n):
+        j = (i + 5) % 78
+        wav = sess.process_chunk_async(src[:, j * spf : (j + 1) * spf])
+        group.append(wav)
+        if len(group) == args.group:
+            np.asarray(cat(group))
+            group = []
+    if group:
+        np.asarray(cat(group))
+    wall = time.perf_counter() - t0
+    period = wall / n
+    audio_per_s = B * FRAME_SECONDS / period
+    print(
+        f"streams={B}: chunk period={period*1e3:.2f}ms "
+        f"(real-time needs <{FRAME_SECONDS*1e3:.1f}ms) -> "
+        f"{'REALTIME OK' if period < FRAME_SECONDS else 'NOT realtime'}, "
+        f"{audio_per_s:.1f} audio-s/s"
+    )
+
+
+if __name__ == "__main__":
+    main()
