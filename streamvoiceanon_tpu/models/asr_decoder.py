@@ -100,6 +100,44 @@ def _backbone(params: Dict, cfg: ASRDecoderConfig, x: jax.Array) -> jax.Array:
     return rms_norm(h, params["norm"]["w"], cfg.norm_eps)
 
 
+def greedy_decode(
+    params: Dict,
+    cfg: ASRDecoderConfig,
+    audio_feats: jax.Array,  # (1, Ta, in_channels)
+    max_len: int = 128,
+) -> jax.Array:
+    """Greedy transcription for training-time logging
+    (asr_decoder.py:100-117, greedy instead of top-p for determinism).
+    Returns (max_len,) token ids, eos-padded.  Recomputes the full prefix per
+    step (matching the reference's cache-less loop) under lax.scan."""
+    if "audio_proj" in params:
+        audio = audio_feats @ params["audio_proj"]["w"] + params["audio_proj"]["b"]
+    else:
+        audio = audio_feats
+    Ta = audio.shape[1]
+    L = Ta + max_len
+
+    def step(carry, _):
+        tokens, t = carry  # tokens (max_len,) with bos logic folded in
+        text = jnp.concatenate(
+            [jnp.full((1,), cfg.bos_id, jnp.int32), tokens.astype(jnp.int32)]
+        )
+        emb = jnp.take(params["text_embedding"], text, axis=0)[None]
+        x = jnp.concatenate([audio, emb], axis=1)
+        h = _backbone(params, cfg, x)
+        logits = (
+            h[:, Ta + t] @ params["prediction_head"]["w"]
+            + params["prediction_head"]["b"]
+        )
+        nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+        tokens = tokens.at[t].set(nxt)
+        return (tokens, t + 1), nxt
+
+    init = (jnp.full((max_len,), cfg.eos_id, jnp.int32), jnp.int32(0))
+    (_, _), out = jax.lax.scan(step, init, None, length=max_len)
+    return out
+
+
 def forward(
     params: Dict,
     cfg: ASRDecoderConfig,
