@@ -158,3 +158,30 @@ def test_incremental_stream_matches_offline(cv, rng):
     np.testing.assert_array_equal(
         codes_hist, np.asarray(offline_codes)[:, :, :n_frames]
     )
+
+
+def test_incremental_stream_delay0(cv, rng):
+    """delay=0: every chunk decodes immediately; matches offline generate."""
+    delay, Ls, Tr = 0, 8, 4
+    ref_wav = _rand_wav(rng, Tr)
+    src_wav = _rand_wav(rng, Ls)
+    ref_tokens = cv.content_tokens(jnp.asarray(ref_wav)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref_wav)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+    src_tokens = cv.content_tokens(jnp.asarray(src_wav)[None])
+    offline_codes = arvc.generate(
+        cv.arvc_params, cv.cfg.arvc, ref_tokens, ref_codes, src_tokens,
+        style, timbre, jax.random.PRNGKey(0), GREEDY, delay,
+    )
+    scfg = StreamConfig(max_prompt_frames=32, max_seq_frames=10_000,
+                        buffer_frames=4, decode_chunk_frames=1, delay=0)
+    sess = StreamSession(
+        cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+        style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+    )
+    for i in range(Ls):
+        out = sess.process_chunk(src_wav[i * SPF : (i + 1) * SPF])
+        assert out.shape == (SPF,)
+    codes_hist = np.asarray(sess.fstate.code_ring[:, :, -Ls:])
+    np.testing.assert_array_equal(codes_hist, np.asarray(offline_codes))
