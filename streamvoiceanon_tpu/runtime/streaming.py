@@ -109,28 +109,6 @@ def _encode_inc(tok_params, cfg: PipelineConfig, tok_state, tok_ring, wav_chunk,
     return tstate, ring, toks
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5))
-def _decode_inc(arvc_params, cfg: PipelineConfig, lm_state, code_ring, toks, 
-                sampling: SamplingConfig, key):
-    """k sequential LM frame decodes + code-ring update."""
-
-    def step(carry, tok):
-        st, kk = carry
-        kk, s2 = jax.random.split(kk)
-        st, codes = arvc.decode_one(arvc_params, cfg.arvc, st, tok[:, None], s2, sampling)
-        return (st, kk), codes
-
-    (lm, _), codes = jax.lax.scan(step, (lm_state, key), jnp.swapaxes(toks, 0, 1))
-    codes = jnp.transpose(codes, (1, 2, 0))  # (B, nq, k)
-    ring = jnp.concatenate([code_ring[:, :, codes.shape[-1]:], codes], axis=-1)
-    return lm, ring, codes
-
-
-@functools.partial(jax.jit, static_argnums=(1,))
-def _vocode_inc(voc_params, cfg: PipelineConfig, voc_state, codes):
-    return vocoder.decode_stream(voc_params, cfg.vocoder, voc_state, codes)
-
-
 @functools.partial(jax.jit, static_argnums=(2, 7))
 def _decode_vocode_inc(arvc_params, voc_params, cfg: PipelineConfig, lm_state,
                        code_ring, voc_state, toks, sampling: SamplingConfig, key):
