@@ -25,6 +25,13 @@ class _R:
             self.dtype
         )
 
+    def he(self, *shape):
+        """Fan-in-scaled init (std = sqrt(2/fan_in), last axis = out
+        channels): variance-preserving through deep conv stacks, where a
+        fixed std would decay activations exponentially."""
+        fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else shape[0]
+        return self.n(*shape, std=float(np.sqrt(2.0 / fan_in)))
+
     def ones(self, *shape):
         return np.ones(shape, self.dtype)
 
@@ -223,23 +230,23 @@ def campplus_params_np(cfg, seed: int = 0, dtype=np.float32) -> Dict:
 
     def res_block(cin, cout, stride):
         p = {
-            "conv1": r.n(3, 3, cin, cout), "bn1": bn(cout),
-            "conv2": r.n(3, 3, cout, cout), "bn2": bn(cout),
+            "conv1": r.he(3, 3, cin, cout), "bn1": bn(cout),
+            "conv2": r.he(3, 3, cout, cout), "bn2": bn(cout),
         }
         if stride != 1 or cin != cout:
-            p["shortcut_conv"] = r.n(1, 1, cin, cout)
+            p["shortcut_conv"] = r.he(1, 1, cin, cout)
             p["shortcut_bn"] = bn(cout)
         return p
 
     m = 32
     fcm = {
-        "conv1": r.n(3, 3, 1, m), "bn1": bn(m),
-        "conv2": r.n(3, 3, m, m), "bn2": bn(m),
+        "conv1": r.he(3, 3, 1, m), "bn1": bn(m),
+        "conv2": r.he(3, 3, m, m), "bn2": bn(m),
         "layer1": [res_block(m, m, 2), res_block(m, m, 1)],
         "layer2": [res_block(m, m, 2), res_block(m, m, 1)],
     }
     ch = m * (cfg.feat_dim // 8)
-    p = {"fcm": fcm, "tdnn_conv": r.n(5, ch, cfg.init_channels),
+    p = {"fcm": fcm, "tdnn_conv": r.he(5, ch, cfg.init_channels),
          "tdnn_bn": bn(cfg.init_channels)}
     ch = cfg.init_channels
     for bi, (n_layers, k, dil) in enumerate(
@@ -250,19 +257,19 @@ def campplus_params_np(cfg, seed: int = 0, dtype=np.float32) -> Dict:
             cin = ch + li * cfg.growth_rate
             bnc = cfg.bn_size * cfg.growth_rate
             layers.append({
-                "nl1": bn(cin), "lin1_w": r.n(1, cin, bnc), "nl2": bn(bnc),
+                "nl1": bn(cin), "lin1_w": r.he(1, cin, bnc), "nl2": bn(bnc),
                 "cam": {
-                    "local_w": r.n(k, bnc, cfg.growth_rate),
-                    "fc1_w": r.n(bnc, bnc // 2), "fc1_b": r.zeros(bnc // 2),
-                    "fc2_w": r.n(bnc // 2, cfg.growth_rate), "fc2_b": r.zeros(cfg.growth_rate),
+                    "local_w": r.he(k, bnc, cfg.growth_rate),
+                    "fc1_w": r.he(bnc, bnc // 2), "fc1_b": r.zeros(bnc // 2),
+                    "fc2_w": r.he(bnc // 2, cfg.growth_rate), "fc2_b": r.zeros(cfg.growth_rate),
                 },
             })
         p[f"block{bi+1}"] = layers
         ch = ch + n_layers * cfg.growth_rate
-        p[f"transit{bi+1}"] = {"bn": bn(ch), "w": r.n(1, ch, ch // 2)}
+        p[f"transit{bi+1}"] = {"bn": bn(ch), "w": r.he(1, ch, ch // 2)}
         ch //= 2
     p["out_bn"] = bn(ch)
-    p["dense_w"] = r.n(1, ch * 2, cfg.embedding_size)
+    p["dense_w"] = r.he(1, ch * 2, cfg.embedding_size)
     p["dense_bn"] = bn_noaff(cfg.embedding_size)
     return p
 
