@@ -1,0 +1,196 @@
+"""Evaluation orchestration + results summary.
+
+Framework equivalent of the reference `anon/run_evaluation.py` driver
+(step selection :34-51, eval_pre/eval_post sequencing :106-211, results
+summary :54-88) re-expressed as a typed config + pure functions: select
+privacy (ASV, with optional ASV_eval^anon retraining) and utility (SER,
+ASR) steps, run them over kaldi-format dataset dirs, and write the
+`results_summary` text file with the same section layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ASVStep:
+    """Privacy step config (run_evaluation.py:106-152)."""
+
+    enrolls: Sequence[str]          # kaldi dir names (original); _anon suffixed
+    trials: Sequence[str]
+    train_asv_on_anon: bool = False  # eval_post: retrain ASV on anonymized data
+    train_dirs: Sequence[str] = ()   # kaldi dirs for retraining (e.g. libri-360_anon)
+    distance: str = "cosine"         # 'cosine' | 'plda'
+
+
+@dataclasses.dataclass
+class SERStep:
+    datasets: Sequence[str]
+    emotions: Sequence[str] = ("neu", "hap", "sad", "ang")
+
+
+@dataclasses.dataclass
+class ASRStep:
+    datasets: Sequence[str]
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    data_dir: Path
+    results_dir: Path
+    anon_data_suffix: str = "_anon"
+    asv: Optional[ASVStep] = None
+    ser: Optional[SERStep] = None
+    asr: Optional[ASRStep] = None
+    sample_rate: int = 44100
+
+
+def _load(data_dir: Path, name: str, sample_rate: int):
+    from streamvoiceanon_tpu.evals.anonymize import load_kaldi_dir
+
+    return load_kaldi_dir(str(Path(data_dir) / name), sample_rate=sample_rate)
+
+
+def run_asv_step(
+    cfg: EvalConfig, step: ASVStep, campplus_params, cp_cfg,
+):
+    """OO/OA/AA EER table over each (enroll, trial) pair; with
+    `train_asv_on_anon`, the AA condition is additionally scored with an
+    ASV model retrained on anonymized data (ASV_eval^anon, eval_post)."""
+    import pandas as pd
+
+    from streamvoiceanon_tpu.evals import asv_train as at
+    from streamvoiceanon_tpu.evals.anonymize import asv_scenarios
+    from streamvoiceanon_tpu.evals import privacy_metrics as pm
+
+    rows: List[Dict] = []
+    trained = None
+    if step.train_asv_on_anon and step.train_dirs:
+        train_utts = []
+        for d in step.train_dirs:
+            train_utts.extend(_load(cfg.data_dir, d, cfg.sample_rate))
+        trained = at.train_asv_eval(campplus_params, cp_cfg, train_utts,
+                                    utt_sample_rate=cfg.sample_rate)
+
+    for enroll_name in step.enrolls:
+        for trial_name in step.trials:
+            enroll = _load(cfg.data_dir, enroll_name, cfg.sample_rate)
+            trial = _load(cfg.data_dir, trial_name, cfg.sample_rate)
+            enroll_anon = _load(cfg.data_dir, enroll_name + cfg.anon_data_suffix,
+                                cfg.sample_rate)
+            trial_anon = _load(cfg.data_dir, trial_name + cfg.anon_data_suffix,
+                               cfg.sample_rate)
+            res = asv_scenarios(enroll, trial, trial_anon, campplus_params,
+                                cp_cfg, enroll_anon=enroll_anon)
+            cond_names = {"OO": ("original", "original"),
+                          "OA": ("original", "anon"),
+                          "AA": ("anon", "anon")}
+            for cond, metrics in res.items():
+                e_kind, t_kind = cond_names[cond]
+                rows.append({
+                    "dataset": trial_name.split("_")[0],
+                    "split": "_".join(trial_name.split("_")[1:]) or "_",
+                    "enrollment": e_kind, "trial": t_kind,
+                    "EER": round(100.0 * metrics["eer"], 3),
+                    "cllr_min": round(metrics["cllr_min"], 4),
+                    "linkability": round(metrics["linkability"], 4),
+                    "model": "ASV_eval",
+                })
+            if trained is not None:
+                e_emb = at.extract_embeddings(trained, cp_cfg, enroll_anon,
+                                              sample_rate=cfg.sample_rate)
+                t_emb = at.extract_embeddings(trained, cp_cfg, trial_anon,
+                                              sample_rate=cfg.sample_rate)
+                labels_e = np.asarray([u.speaker for u in enroll_anon])
+                labels_t = np.asarray([u.speaker for u in trial_anon])
+                s = pm.cosine_scores(e_emb, t_emb)
+                same = labels_e[:, None] == labels_t[None, :]
+                tar, non = s[same], s[~same]
+                rows.append({
+                    "dataset": trial_name.split("_")[0],
+                    "split": "_".join(trial_name.split("_")[1:]) or "_",
+                    "enrollment": "anon", "trial": "anon",
+                    "EER": round(100.0 * pm.eer(tar, non)[0], 3),
+                    "cllr_min": round(pm.min_cllr(tar, non), 4),
+                    "linkability": round(pm.linkability(tar, non), 4),
+                    "model": "ASV_eval_anon",
+                })
+    df = pd.DataFrame(rows)
+    out = Path(cfg.results_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out / f"asv_results{cfg.anon_data_suffix}.csv")
+    return df
+
+
+def run_evaluation(
+    cfg: EvalConfig,
+    campplus_params=None,
+    cp_cfg=None,
+    transcriber: Optional[Callable] = None,
+    ser_classifiers=None,
+    ser_embed_fn=None,
+) -> Dict:
+    """Runs the selected steps and writes the results summary
+    (run_evaluation.py:213-216).  Returns {'asv': df, 'ser': df, 'asr': df}
+    for whichever steps were configured."""
+    results: Dict = {}
+    if cfg.asv is not None:
+        results["asv"] = run_asv_step(cfg, cfg.asv, campplus_params, cp_cfg)
+    if cfg.ser is not None:
+        from streamvoiceanon_tpu.evals.ser import evaluate_ser
+
+        results["ser"] = evaluate_ser(
+            list(cfg.ser.datasets), Path(cfg.data_dir), ser_classifiers,
+            embed_fn=ser_embed_fn, emotions=list(cfg.ser.emotions),
+            results_dir=Path(cfg.results_dir) / "ser",
+            anon_data_suffix=cfg.anon_data_suffix,
+        )
+    if cfg.asr is not None:
+        from streamvoiceanon_tpu.evals.wer import evaluate_asr
+
+        results["asr"] = evaluate_asr(
+            list(cfg.asr.datasets), Path(cfg.data_dir), transcriber,
+            results_dir=Path(cfg.results_dir) / "asr",
+            anon_data_suffix=cfg.anon_data_suffix,
+        )
+    if results:
+        save_result_summary(
+            Path(cfg.results_dir) / "results_summary.txt", results
+        )
+    return results
+
+
+def save_result_summary(out_path: Path, results: Dict) -> None:
+    """Text summary with the reference's section layout
+    (run_evaluation.py:54-88)."""
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(f"---- Time: {datetime.today().strftime('%d-%m-%y_%H:%M')} ----\n")
+        if "ser" in results:
+            f.write("\n---- SER results ----\n")
+            f.write(results["ser"].sort_values(by=["dataset", "split"]).to_string())
+            f.write("\n")
+        if "asv" in results:
+            df = results["asv"]
+            f.write("\n---- ASV_eval results ----\n")
+            f.write(
+                df[df["model"] == "ASV_eval"]
+                .sort_values(by=["dataset", "split"]).to_string()
+            )
+            f.write("\n")
+            anon = df[df["model"] == "ASV_eval_anon"]
+            if len(anon):
+                f.write("\n---- ASV_eval^anon results ----\n")
+                f.write(anon.sort_values(by=["dataset", "split"]).to_string())
+                f.write("\n")
+        if "asr" in results:
+            f.write("\n---- ASR results ----\n")
+            f.write(results["asr"].sort_values(by=["dataset", "split"]).to_string())
+            f.write("\n")

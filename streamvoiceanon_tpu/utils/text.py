@@ -117,6 +117,22 @@ def normalize_chinese(text: str) -> str:
     # money: ¥12 or 12元
     text = re.sub(r"(\d+(?:\.\d+)?)元", lambda m: _decimal(m.group(1)) + "元", text)
 
+    # fractions: 1/3 -> 三分之一 (chn_text_norm/fraction.py semantics)
+    text = re.sub(
+        r"(\d+)/(\d+)",
+        lambda m: number_to_chinese(int(m.group(2)))
+        + "分之"
+        + number_to_chinese(int(m.group(1))),
+        text,
+    )
+
+    # telephone with separators: 010-12345678 -> digit-by-digit both parts
+    text = re.sub(
+        r"\d{3,4}-\d{6,8}",
+        lambda m: digits_to_chinese(m.group().replace("-", "")),
+        text,
+    )
+
     # long digit runs (>= 7 digits): read digit-by-digit (telephone)
     text = re.sub(r"\d{7,}", lambda m: digits_to_chinese(m.group()), text)
 

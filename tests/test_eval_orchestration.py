@@ -1,0 +1,99 @@
+"""run_evaluation-equivalent orchestration, plots, and text-norm additions."""
+
+import numpy as np
+import pytest
+
+from streamvoiceanon_tpu.evals.kaldi import save_kaldi_format
+
+
+def _write_speaker_dirs(tmp_path, sr=16000):
+    """Two-speaker enroll/trial kaldi dirs + 'anonymized' copies (noise-mixed
+    toward a shared carrier so speakers become less separable)."""
+    from streamvoiceanon_tpu.audio.io import write_wav
+
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+
+    def wav_for(spk, j, anon=False):
+        f0 = 300.0 if spk == "spkA" else 2500.0
+        w = np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(len(t))
+        if anon:
+            carrier = np.sin(2 * np.pi * 1200.0 * t)
+            w = 0.3 * w + 0.7 * carrier
+        return w.astype(np.float32)
+
+    for name, anon in [("libri_dev_enrolls", False), ("libri_dev_trials", False),
+                       ("libri_dev_enrolls_anon", True), ("libri_dev_trials_anon", True)]:
+        d = tmp_path / "data" / name
+        scp, u2s = {}, {}
+        for spk in ("spkA", "spkB"):
+            for j in range(3):
+                u = f"{spk}_{name}_{j}"
+                p = tmp_path / f"{u}.wav"
+                write_wav(str(p), wav_for(spk, j, anon), sr)
+                scp[u] = str(p)
+                u2s[u] = spk
+        save_kaldi_format(scp, d / "wav.scp")
+        save_kaldi_format(u2s, d / "utt2spk")
+    return sr
+
+
+def test_run_evaluation_asv_and_asr(tmp_path):
+    from tests.test_eval_harness import _tiny_campplus
+
+    from streamvoiceanon_tpu.evals.harness import (
+        ASRStep,
+        ASVStep,
+        EvalConfig,
+        run_evaluation,
+    )
+
+    sr = _write_speaker_dirs(tmp_path)
+    params_np, cp_cfg = _tiny_campplus()
+
+    # ASR dirs reuse the trial wavs
+    from streamvoiceanon_tpu.evals.kaldi import read_kaldi_format
+
+    for name in ("libri_dev_trials", "libri_dev_trials_anon"):
+        scp = read_kaldi_format(tmp_path / "data" / name / "wav.scp")
+        save_kaldi_format({u: "some words here" for u in scp},
+                          tmp_path / "data" / name / "text")
+
+    cfg = EvalConfig(
+        data_dir=tmp_path / "data", results_dir=tmp_path / "results",
+        asv=ASVStep(enrolls=["libri_dev_enrolls"], trials=["libri_dev_trials"]),
+        asr=ASRStep(datasets=["libri_dev_trials"]),
+        sample_rate=sr,
+    )
+    results = run_evaluation(
+        cfg, campplus_params=params_np, cp_cfg=cp_cfg,
+        transcriber=lambda w, s: "some words here",
+    )
+    asv = results["asv"]
+    assert {"original", "anon"} <= set(asv["trial"])
+    assert (asv["EER"] >= 0).all() and (asv["EER"] <= 50).all()
+    assert (results["asr"]["WER"] == 0.0).all()
+    summary = (tmp_path / "results" / "results_summary.txt").read_text()
+    assert "---- ASV_eval results ----" in summary
+    assert "---- ASR results ----" in summary
+    assert (tmp_path / "results" / "asv_results_anon.csv").exists()
+
+
+def test_plots_smoke(tmp_path):
+    from streamvoiceanon_tpu.evals.plots import plot_all
+
+    rng = np.random.default_rng(0)
+    tar = rng.normal(1.0, 0.5, 300)
+    non = rng.normal(-1.0, 0.5, 1000)
+    paths = plot_all(tar, non, tmp_path, prefix="t")
+    for p in paths:
+        assert p.exists() and p.stat().st_size > 1000
+
+
+def test_chinese_fraction_and_phone():
+    from streamvoiceanon_tpu.utils.text import normalize_chinese
+
+    assert normalize_chinese("占1/3左右") == "占三分之一左右"
+    out = normalize_chinese("电话010-12345678")
+    assert "零幺零幺二三四五六七八" == out.replace("电话", "")
+    assert normalize_chinese("3/4拍") == "四分之三拍"
