@@ -145,6 +145,68 @@ def cmd_batch(args):
             print(f"wrote {name}.wav")
 
 
+def cmd_anonymize(args):
+    """Dataset anonymization (anon/run_anonymization.py equivalent): every
+    utterance of a kaldi dir is converted against per-speaker target
+    references with noise-mixed embeddings; writes `<out-dir>` with wavs +
+    kaldi tables."""
+    from streamvoiceanon_tpu.audio.io import read_wav
+    from streamvoiceanon_tpu.evals.anonymize import anonymize_kaldi_dir
+
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    targets = [read_wav(p, target_sr=cv.cfg.sample_rate)[0] for p in args.target_refs]
+    anonymize_kaldi_dir(
+        cv, args.data_dir, args.out_dir, targets,
+        alpha=args.alpha, delay=args.delay, seed=args.seed,
+        sample_rate=cv.cfg.sample_rate,
+    )
+    print(f"anonymized {args.data_dir} -> {args.out_dir}")
+
+
+def cmd_evaluate(args):
+    """Privacy/utility evaluation (anon/run_evaluation.py equivalent) over
+    kaldi dirs laid out as `<name>` + `<name><anon-suffix>`.  ASR WER uses
+    hypotheses cached under `<results-dir>/asr/<set>/text` (transcribe with
+    any backend, e.g. `evals.wer` + the framework ASR decoder)."""
+    from pathlib import Path
+
+    from streamvoiceanon_tpu.evals.harness import (
+        ASRStep,
+        ASVStep,
+        EvalConfig,
+        run_evaluation,
+    )
+
+    if args.ckpt_dir:
+        cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+        cp_params, cp_cfg = cv.campplus_params, cv.cfg.campplus
+    else:
+        from streamvoiceanon_tpu.config import PipelineConfig
+        from streamvoiceanon_tpu.utils import randparams as rp
+
+        cp_cfg = PipelineConfig().campplus
+        cp_params = rp.campplus_params_np(cp_cfg, args.seed)
+        print("[warn] no --ckpt-dir: ASV scoring with RANDOM weights", file=sys.stderr)
+
+    cfg = EvalConfig(
+        data_dir=Path(args.data_dir), results_dir=Path(args.results_dir),
+        anon_data_suffix=args.anon_suffix,
+        asv=ASVStep(
+            enrolls=args.asv_enrolls, trials=args.asv_trials,
+            train_asv_on_anon=args.train_asv_on_anon,
+            train_dirs=args.train_dirs or (),
+        ) if args.asv_enrolls else None,
+        asr=ASRStep(datasets=args.asr_datasets) if args.asr_datasets else None,
+        sample_rate=args.sample_rate,
+    )
+    results = run_evaluation(cfg, campplus_params=cp_params, cp_cfg=cp_cfg,
+                             transcriber=None)
+    for name, df in results.items():
+        print(f"== {name} ==")
+        print(df.to_string())
+    print(f"summary: {Path(args.results_dir) / 'results_summary.txt'}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="streamvoiceanon_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -177,6 +239,33 @@ def main(argv=None):
     c.add_argument("--decode-chunk-frames", type=int, default=1)
     c.add_argument("--ref-crop-lengths", type=float, nargs="+", default=None)
     c.set_defaults(fn=cmd_convert)
+
+    a = sub.add_parser("anonymize", help="anonymize a kaldi-format dataset dir")
+    a.add_argument("--data-dir", required=True)
+    a.add_argument("--out-dir", required=True)
+    a.add_argument("--target-refs", required=True, nargs="+",
+                   help="target-speaker reference wavs (pseudo-speaker pool)")
+    a.add_argument("--ckpt-dir")
+    a.add_argument("--delay", type=int, default=2)
+    a.add_argument("--alpha", type=float, default=0.7)
+    a.add_argument("--seed", type=int, default=0)
+    a.set_defaults(fn=cmd_anonymize)
+
+    e = sub.add_parser("evaluate", help="privacy/utility evaluation over kaldi dirs")
+    e.add_argument("--data-dir", required=True)
+    e.add_argument("--results-dir", required=True)
+    e.add_argument("--anon-suffix", default="_anon")
+    e.add_argument("--asv-enrolls", nargs="*", default=[])
+    e.add_argument("--asv-trials", nargs="*", default=[])
+    e.add_argument("--train-asv-on-anon", action="store_true",
+                   help="eval_post: retrain ASV on anonymized --train-dirs")
+    e.add_argument("--train-dirs", nargs="*", default=[])
+    e.add_argument("--asr-datasets", nargs="*", default=[],
+                   help="WER sets (hypotheses cached under results-dir/asr)")
+    e.add_argument("--sample-rate", type=int, default=44100)
+    e.add_argument("--ckpt-dir")
+    e.add_argument("--seed", type=int, default=0)
+    e.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     args.fn(args)

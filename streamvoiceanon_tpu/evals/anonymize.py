@@ -84,6 +84,47 @@ def anonymize_dataset(
     return out
 
 
+def anonymize_kaldi_dir(
+    converter,
+    data_dir: str,
+    out_dir: str,
+    target_refs: Sequence[np.ndarray],
+    *,
+    alpha: float = 0.7,
+    delay: int = 2,
+    seed: int = 0,
+    sample_rate: int = 44100,
+) -> None:
+    """Anonymizes a kaldi-format dataset dir into `<out_dir>` (the
+    run_anonymization.py pipeline step): converts every wav, writes
+    `<utt_id>.wav` files plus wav.scp/utt2spk, and copies any side tables
+    (text, utt2emo, spk2fold, spk2gender) verbatim."""
+    import shutil
+
+    from streamvoiceanon_tpu.audio.io import write_wav
+    from streamvoiceanon_tpu.evals.kaldi import save_kaldi_format
+
+    utts = load_kaldi_dir(data_dir, sample_rate=sample_rate)
+    anon = anonymize_dataset(
+        converter, utts, target_refs, alpha=alpha, delay=delay, seed=seed
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    wav_dir = os.path.join(out_dir, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    scp, u2s = {}, {}
+    for u in anon:
+        path = os.path.join(wav_dir, f"{u.utt_id}.wav")
+        write_wav(path, u.wav, sample_rate)
+        scp[u.utt_id] = path
+        u2s[u.utt_id] = u.speaker
+    save_kaldi_format(scp, os.path.join(out_dir, "wav.scp"))
+    save_kaldi_format(u2s, os.path.join(out_dir, "utt2spk"))
+    for side in ("text", "utt2emo", "spk2fold", "spk2gender"):
+        src = os.path.join(data_dir, side)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(out_dir, side))
+
+
 def speaker_embeddings(
     campplus_params, cfg, utterances: Sequence[Utterance], sample_rate: int = 44100
 ) -> np.ndarray:

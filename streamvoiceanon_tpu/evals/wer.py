@@ -208,6 +208,10 @@ def evaluate_asr(
         if hyp_file.exists():
             hypotheses = read_kaldi_format(hyp_file)
         else:
+            if transcriber is None:
+                raise FileNotFoundError(
+                    f"no cached hypotheses at {hyp_file} and no transcriber given"
+                )
             scp = read_kaldi_format(data_path / "wav.scp")
             hypotheses = {}
             for utt_id, wav_path in scp.items():

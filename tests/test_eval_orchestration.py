@@ -79,6 +79,63 @@ def test_run_evaluation_asv_and_asr(tmp_path):
     assert (tmp_path / "results" / "asv_results_anon.csv").exists()
 
 
+def test_anonymize_kaldi_dir(tmp_path):
+    """run_anonymization-equivalent dataset pass writes a complete anon dir."""
+    from tests.tinymodels import tiny_converter
+
+    from streamvoiceanon_tpu.audio.io import write_wav
+    from streamvoiceanon_tpu.evals.anonymize import anonymize_kaldi_dir
+    from streamvoiceanon_tpu.evals.kaldi import read_kaldi_format
+
+    import dataclasses as dc
+
+    from streamvoiceanon_tpu.config import (
+        CAMPPlusConfig,
+        SpeakerEncoderConfig,
+        replace,
+    )
+    from streamvoiceanon_tpu.utils import randparams as rp
+
+    cv = tiny_converter()
+    cp_cfg = CAMPPlusConfig(
+        embedding_size=192, growth_rate=8, bn_size=2, init_channels=16,
+        block_layers=(2, 2), block_kernels=(3, 3), block_dilations=(1, 2),
+    )
+    spk_cfg = SpeakerEncoderConfig(ecapa_channels=64)
+    cv = dc.replace(
+        cv,
+        cfg=replace(cv.cfg, campplus=cp_cfg, speaker=spk_cfg),
+        campplus_params=rp.campplus_params_np(cp_cfg, seed=5),
+        speaker_params=rp.speaker_encoder_params_np(spk_cfg, seed=6),
+    )
+    sr = 44100
+    spf = cv.cfg.samples_per_frame
+    rng = np.random.default_rng(0)
+    d = tmp_path / "libri_dev"
+    scp = {}
+    for i in range(2):
+        wav = (rng.standard_normal(6 * spf) * 0.1).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), wav, sr)
+        scp[f"u{i}"] = str(p)
+    save_kaldi_format(scp, d / "wav.scp")
+    save_kaldi_format({"u0": "spkA", "u1": "spkB"}, d / "utt2spk")
+    save_kaldi_format({"u0": "hello", "u1": "world"}, d / "text")
+
+    target = (rng.standard_normal(8 * spf) * 0.1).astype(np.float32)
+    anonymize_kaldi_dir(cv, str(d), str(tmp_path / "libri_dev_anon"), [target],
+                        alpha=0.5, delay=1, seed=0)
+    out = tmp_path / "libri_dev_anon"
+    anon_scp = read_kaldi_format(out / "wav.scp")
+    assert set(anon_scp) == {"u0", "u1"}
+    from streamvoiceanon_tpu.audio.io import read_wav
+
+    w, _ = read_wav(anon_scp["u0"], target_sr=sr)
+    assert len(w) > 0
+    assert (out / "text").read_text() == (d / "text").read_text()
+    assert read_kaldi_format(out / "utt2spk")["u1"] == "spkB"
+
+
 def test_plots_smoke(tmp_path):
     from streamvoiceanon_tpu.evals.plots import plot_all
 
