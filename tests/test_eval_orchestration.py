@@ -154,3 +154,46 @@ def test_chinese_fraction_and_phone():
     out = normalize_chinese("电话010-12345678")
     assert "零幺零幺二三四五六七八" == out.replace("电话", "")
     assert normalize_chinese("3/4拍") == "四分之三拍"
+
+
+def test_asr_eval_train_overfit_and_transcribe(tmp_path):
+    """Native ASR_eval (CTC) memorizes a tiny train set -> WER 0 through the
+    full evaluate_asr driver (train_asr_eval.py equivalence)."""
+    from streamvoiceanon_tpu.audio.io import write_wav
+    from streamvoiceanon_tpu.evals import asr_eval_train as aet
+    from streamvoiceanon_tpu.evals.anonymize import Utterance
+    from streamvoiceanon_tpu.evals.wer import evaluate_asr
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr // 2) / sr
+    wavs = {
+        "u1": (np.sin(2 * np.pi * 300 * t) + 0.02 * rng.standard_normal(len(t))).astype(np.float32),
+        "u2": (np.sin(2 * np.pi * 2000 * t) + 0.02 * rng.standard_normal(len(t))).astype(np.float32),
+    }
+    texts = {"u1": "ab", "u2": "ba"}
+    utts = [Utterance(u, u, w) for u, w in wavs.items()]
+
+    cfg = aet.ASREvalConfig(dim=64, n_layers=1, n_heads=2, steps=250,
+                            batch_size=2, max_frames=64, max_label_len=8)
+    hist = []
+    params, vocab = aet.train_asr_eval(utts, texts, cfg, utt_sample_rate=sr,
+                                       history=hist)
+    assert hist[-1] < hist[0]
+    transcriber = aet.make_transcriber(params, vocab, cfg)
+    assert transcriber(wavs["u1"], sr) == "ab"
+    assert transcriber(wavs["u2"], sr) == "ba"
+
+    # end-to-end through the WER driver
+    for name in ("tiny_dev", "tiny_dev_anon"):
+        d = tmp_path / "data" / name
+        scp = {}
+        for u, w in wavs.items():
+            p = tmp_path / f"{name}_{u}.wav"
+            write_wav(str(p), w, sr)
+            scp[u] = str(p)
+        save_kaldi_format(scp, d / "wav.scp")
+        save_kaldi_format(texts, d / "text")
+    df = evaluate_asr(["tiny_dev"], tmp_path / "data", transcriber,
+                      results_dir=tmp_path / "res", anon_data_suffix="_anon")
+    assert (df["WER"] == 0.0).all()
