@@ -195,6 +195,7 @@ def cmd_evaluate(args):
             enrolls=args.asv_enrolls, trials=args.asv_trials,
             train_asv_on_anon=args.train_asv_on_anon,
             train_dirs=args.train_dirs or (),
+            distance=args.asv_distance,
         ) if args.asv_enrolls else None,
         asr=ASRStep(datasets=args.asr_datasets) if args.asr_datasets else None,
         sample_rate=args.sample_rate,
@@ -260,6 +261,7 @@ def main(argv=None):
     e.add_argument("--train-asv-on-anon", action="store_true",
                    help="eval_post: retrain ASV on anonymized --train-dirs")
     e.add_argument("--train-dirs", nargs="*", default=[])
+    e.add_argument("--asv-distance", choices=["cosine", "plda"], default="cosine")
     e.add_argument("--asr-datasets", nargs="*", default=[],
                    help="WER sets (hypotheses cached under results-dir/asr)")
     e.add_argument("--sample-rate", type=int, default=44100)

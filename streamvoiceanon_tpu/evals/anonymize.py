@@ -146,12 +146,15 @@ def asv_scenarios(
     campplus_params,
     cfg,
     enroll_anon: Optional[Sequence[Utterance]] = None,
+    distance: str = "cosine",
 ) -> Dict[str, Dict[str, float]]:
     """EER + Cllr + linkability for the VPC attack scenarios
     (evaluate_asv.py:26-46):
       OO: original enroll vs original trials (baseline)
       OA: original enroll vs anonymized trials (ignorant attacker)
       AA: anonymized enroll vs anonymized trials (informed attacker)
+    `distance` selects the scoring backend: 'cosine' or 'plda' (two-covariance
+    PLDA trained per scenario on the enrollment cohort, asv.py backends).
     """
     e_o = speaker_embeddings(campplus_params, cfg, enroll_orig)
     t_o = speaker_embeddings(campplus_params, cfg, trial_orig)
@@ -160,7 +163,12 @@ def asv_scenarios(
     labels_t = np.asarray([u.speaker for u in trial_orig])
 
     def scores(e, t):
-        s = pm.cosine_scores(e, t)
+        if distance == "plda":
+            from streamvoiceanon_tpu.evals.plda import train_plda
+
+            s = train_plda(e, labels_e).score(e, t)
+        else:
+            s = pm.cosine_scores(e, t)
         same = labels_e[:, None] == labels_t[None, :]
         return s[same], s[~same]
 

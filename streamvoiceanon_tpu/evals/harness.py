@@ -87,7 +87,8 @@ def run_asv_step(
             trial_anon = _load(cfg.data_dir, trial_name + cfg.anon_data_suffix,
                                cfg.sample_rate)
             res = asv_scenarios(enroll, trial, trial_anon, campplus_params,
-                                cp_cfg, enroll_anon=enroll_anon)
+                                cp_cfg, enroll_anon=enroll_anon,
+                                distance=step.distance)
             cond_names = {"OO": ("original", "original"),
                           "OA": ("original", "anon"),
                           "AA": ("anon", "anon")}

@@ -197,3 +197,21 @@ def test_asr_eval_train_overfit_and_transcribe(tmp_path):
     df = evaluate_asr(["tiny_dev"], tmp_path / "data", transcriber,
                       results_dir=tmp_path / "res", anon_data_suffix="_anon")
     assert (df["WER"] == 0.0).all()
+
+
+def test_asv_plda_distance(tmp_path):
+    from tests.test_eval_harness import _tiny_campplus
+
+    from streamvoiceanon_tpu.evals.harness import ASVStep, EvalConfig, run_evaluation
+
+    sr = _write_speaker_dirs(tmp_path)
+    params_np, cp_cfg = _tiny_campplus()
+    cfg = EvalConfig(
+        data_dir=tmp_path / "data", results_dir=tmp_path / "results_plda",
+        asv=ASVStep(enrolls=["libri_dev_enrolls"], trials=["libri_dev_trials"],
+                    distance="plda"),
+        sample_rate=sr,
+    )
+    asv = run_evaluation(cfg, campplus_params=params_np, cp_cfg=cp_cfg)["asv"]
+    assert len(asv) == 3
+    assert (asv["EER"] >= 0).all() and (asv["EER"] <= 50).all()
