@@ -167,6 +167,37 @@ def run_evaluation(
     return results
 
 
+def make_submission(
+    summary_paths: Sequence[Path],
+    results_dir: Path,
+    out_zip: Path,
+    anon_data_suffix: str = "_anon",
+) -> Path:
+    """Merges result summaries and zips the per-metric artifacts — the
+    02_run.sh:40-50 'Merge results' step: `result_for_rank` = concatenated
+    summaries, plus every results CSV / summary under `results_dir` that
+    carries the anon suffix."""
+    import zipfile
+
+    out_zip = Path(out_zip)
+    out_zip.parent.mkdir(parents=True, exist_ok=True)
+    rank_file = out_zip.parent / f"result_for_rank{anon_data_suffix}"
+    with open(rank_file, "w") as f:
+        for i, p in enumerate(summary_paths):
+            if i:
+                f.write("\n")
+            f.write(Path(p).read_text())
+
+    results_dir = Path(results_dir)
+    with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as z:
+        z.write(rank_file, rank_file.name)
+        for p in sorted(results_dir.rglob("*")):
+            if p.is_file() and (anon_data_suffix in p.name
+                                or p.name == "results_summary.txt"):
+                z.write(p, p.relative_to(results_dir.parent))
+    return out_zip
+
+
 def save_result_summary(out_path: Path, results: Dict) -> None:
     """Text summary with the reference's section layout
     (run_evaluation.py:54-88)."""

@@ -215,3 +215,24 @@ def test_asv_plda_distance(tmp_path):
     asv = run_evaluation(cfg, campplus_params=params_np, cp_cfg=cp_cfg)["asv"]
     assert len(asv) == 3
     assert (asv["EER"] >= 0).all() and (asv["EER"] <= 50).all()
+
+
+def test_make_submission(tmp_path):
+    import zipfile
+
+    from streamvoiceanon_tpu.evals.harness import make_submission
+
+    res = tmp_path / "results"
+    (res / "asr").mkdir(parents=True)
+    (res / "results_summary.txt").write_text("---- pre ----\n")
+    (res / "asr" / "results_anon.csv").write_text("a,b\n1,2\n")
+    post = tmp_path / "post_summary.txt"
+    post.write_text("---- post ----\n")
+
+    z = make_submission([res / "results_summary.txt", post], res,
+                        tmp_path / "sub" / "result_for_submission_anon.zip")
+    names = zipfile.ZipFile(z).namelist()
+    assert "result_for_rank_anon" in names
+    assert any(n.endswith("results_anon.csv") for n in names)
+    rank = (tmp_path / "sub" / "result_for_rank_anon").read_text()
+    assert "pre" in rank and "post" in rank
