@@ -53,11 +53,14 @@ def save_kaldi_format(data: Dict[str, object], path: PathLike) -> None:
 
 def combine_asr_data(in_dirs: Iterable[PathLike], out_dir: PathLike) -> None:
     """Merges multiple kaldi data dirs into one (run_evaluation.py:195,
-    reference utils.combine_asr_data): concatenates wav.scp / utt2spk /
-    text, de-duplicated by utt id."""
+    reference prepare_results_in_kaldi_format.combine_asr_data): concatenates
+    wav.scp / utt2spk / text / spk2gender de-duplicated by key, and rebuilds
+    spk2utt from the merged utt2spk."""
+    in_dirs = list(in_dirs)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    for fname in ("wav.scp", "utt2spk", "text"):
+    utt2spk: Dict[str, str] = {}
+    for fname in ("wav.scp", "utt2spk", "text", "spk2gender"):
         merged: Dict[str, str] = {}
         for d in in_dirs:
             src = Path(d) / fname
@@ -65,3 +68,11 @@ def combine_asr_data(in_dirs: Iterable[PathLike], out_dir: PathLike) -> None:
                 merged.update(read_kaldi_format(src))
         if merged:
             save_kaldi_format(merged, out / fname)
+            if fname == "utt2spk":
+                utt2spk = merged
+    if utt2spk:
+        spk2utt: Dict[str, list] = {}
+        for utt, spk in utt2spk.items():
+            spk2utt.setdefault(spk, []).append(utt)
+        save_kaldi_format({s: sorted(u) for s, u in spk2utt.items()},
+                          out / "spk2utt")

@@ -28,9 +28,13 @@ def test_kaldi_roundtrip_and_combine(tmp_path):
     assert lines[0].startswith("utt1")
 
     save_kaldi_format({"utt3": "c"}, tmp_path / "d2" / "text")
+    save_kaldi_format({"utt1": "spkX", "utt2": "spkX"}, tmp_path / "d1" / "utt2spk")
+    save_kaldi_format({"utt3": "spkY"}, tmp_path / "d2" / "utt2spk")
     combine_asr_data([tmp_path / "d1", tmp_path / "d2"], tmp_path / "both")
     merged = read_kaldi_format(tmp_path / "both" / "text")
     assert set(merged) == {"utt1", "utt2", "utt3"}
+    spk2utt = read_kaldi_format(tmp_path / "both" / "spk2utt")
+    assert spk2utt["spkX"] == "utt1 utt2" and spk2utt["spkY"] == "utt3"
 
 
 # ---------------------------------------------------------------------------
