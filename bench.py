@@ -118,7 +118,7 @@ def main():
         return wall / n_bench, float(np.median(lats))
 
     results = {}
-    for M in (1, 4, 8, 16):
+    for M in (1, 4, 8, 16, 32):
         a = run_mode(M)
         b = run_mode(M, n_bench=64)
         period, lat = min(a, b)  # best-of-2 guards against relay hiccups
@@ -126,7 +126,7 @@ def main():
         log(f"fetch group M={M}: period={period*1e3:.2f}ms RTF={period/FRAME_SECONDS:.3f} "
             f"p50 delivery latency={lat*1e3:.1f}ms")
 
-    best_m = min((m for m in (4, 8, 16)), key=lambda m: results[m][0])
+    best_m = min((m for m in (4, 8, 16, 32)), key=lambda m: results[m][0])
     period8, lat8 = results[best_m]
     rtf = period8 / FRAME_SECONDS
     print(

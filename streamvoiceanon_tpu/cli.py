@@ -174,6 +174,7 @@ def cmd_evaluate(args):
         ASRStep,
         ASVStep,
         EvalConfig,
+        SERStep,
         run_evaluation,
     )
 
@@ -198,6 +199,8 @@ def cmd_evaluate(args):
             distance=args.asv_distance,
         ) if args.asv_enrolls else None,
         asr=ASRStep(datasets=args.asr_datasets) if args.asr_datasets else None,
+        ser=SERStep(datasets=args.ser_datasets, emotions=tuple(args.ser_emotions))
+        if args.ser_datasets else None,
         sample_rate=args.sample_rate,
     )
     results = run_evaluation(cfg, campplus_params=cp_params, cp_cfg=cp_cfg,
@@ -264,6 +267,10 @@ def main(argv=None):
     e.add_argument("--asv-distance", choices=["cosine", "plda"], default="cosine")
     e.add_argument("--asr-datasets", nargs="*", default=[],
                    help="WER sets (hypotheses cached under results-dir/asr)")
+    e.add_argument("--ser-datasets", nargs="*", default=[],
+                   help="SER sets (fold heads trained in place on originals)")
+    e.add_argument("--ser-emotions", nargs="*",
+                   default=["neu", "hap", "sad", "ang"])
     e.add_argument("--sample-rate", type=int, default=44100)
     e.add_argument("--ckpt-dir")
     e.add_argument("--seed", type=int, default=0)

@@ -144,7 +144,40 @@ def run_evaluation(
     if cfg.asv is not None:
         results["asv"] = run_asv_step(cfg, cfg.asv, campplus_params, cp_cfg)
     if cfg.ser is not None:
-        from streamvoiceanon_tpu.evals.ser import evaluate_ser
+        from streamvoiceanon_tpu.evals.ser import (
+            SERHeadConfig,
+            campplus_embed_fn,
+            evaluate_ser,
+            train_fold_classifiers,
+        )
+
+        if ser_embed_fn is None:
+            ser_embed_fn = campplus_embed_fn(campplus_params, cp_cfg)
+        if ser_classifiers is None:
+            # train leave-fold-out heads on the ORIGINAL data (the reference
+            # ships pretrained fold checkpoints; here they are fit in place)
+            import jax as _jax
+
+            from streamvoiceanon_tpu.audio.io import read_wav
+            from streamvoiceanon_tpu.evals.kaldi import read_kaldi_format
+
+            d = Path(cfg.data_dir) / cfg.ser.datasets[0]
+            scp = read_kaldi_format(d / "wav.scp")
+            utt2spk = read_kaldi_format(d / "utt2spk")
+            utt2emo = read_kaldi_format(d / "utt2emo")
+            spk2fold = read_kaldi_format(d / "spk2fold")
+            embs = {}
+            for u, p in scp.items():
+                wav, sr = read_wav(p)
+                embs[u] = ser_embed_fn(np.asarray(wav), sr)
+            head_cfg = SERHeadConfig(
+                emb_dim=next(iter(embs.values())).shape[-1],
+                n_classes=len(cfg.ser.emotions),
+            )
+            ser_classifiers = train_fold_classifiers(
+                _jax.random.PRNGKey(0), head_cfg, embs, utt2emo, utt2spk,
+                spk2fold, list(cfg.ser.emotions),
+            )
 
         results["ser"] = evaluate_ser(
             list(cfg.ser.datasets), Path(cfg.data_dir), ser_classifiers,

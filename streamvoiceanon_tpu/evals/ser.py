@@ -112,6 +112,25 @@ def classify(params: Dict, embs: np.ndarray) -> np.ndarray:
     return np.asarray(jnp.argmax(head_logits(params, jnp.asarray(embs)), axis=-1))
 
 
+def campplus_embed_fn(campplus_params, cp_cfg) -> Callable[[np.ndarray, int], np.ndarray]:
+    """Default embedding for SER: the CAMPPlus utterance vector (its D-TDNN
+    front half is a generic utterance encoder)."""
+    from streamvoiceanon_tpu.audio import fbank as fbank_mod
+
+    def embed(wav: np.ndarray, sr: int) -> np.ndarray:
+        from streamvoiceanon_tpu.audio.resample import resample
+        from streamvoiceanon_tpu.models import campplus
+
+        w16 = resample(jnp.asarray(wav, jnp.float32)[None], sr, 16000)
+        f = fbank_mod.fbank(w16)
+        f = f - jnp.mean(f, axis=1, keepdims=True)
+        lens = jnp.full((1,), f.shape[1] // 2, jnp.int32)
+        return np.asarray(campplus.apply(
+            jax.tree.map(jnp.asarray, campplus_params), cp_cfg, f, lens))[0]
+
+    return embed
+
+
 # ---------------------------------------------------------------------------
 # Fold-wise dataset evaluation (evaluate_ser.py:36-99)
 # ---------------------------------------------------------------------------

@@ -236,3 +236,45 @@ def test_make_submission(tmp_path):
     assert any(n.endswith("results_anon.csv") for n in names)
     rank = (tmp_path / "sub" / "result_for_rank_anon").read_text()
     assert "pre" in rank and "post" in rank
+
+
+def test_run_evaluation_ser_autotrain(tmp_path):
+    """SER step with no supplied classifiers: fold heads are trained in place
+    on the original data (harness auto-train path) with an embed_fn."""
+    from streamvoiceanon_tpu.audio.io import write_wav
+    from streamvoiceanon_tpu.evals.harness import EvalConfig, SERStep, run_evaluation
+
+    sr = 16000
+    emotions = ["neu", "hap"]
+    freqs = {"neu": 250.0, "hap": 2200.0}
+    rng = np.random.default_rng(2)
+    t = np.arange(sr // 4) / sr
+    for name in ("IEMOCAP_test", "IEMOCAP_test_anon"):
+        d = tmp_path / "data" / name
+        scp, u2s, u2e = {}, {}, {}
+        for spk, fold in (("sA", "1"), ("sB", "2")):
+            for emo in emotions:
+                for j in range(3):
+                    u = f"{spk}_{emo}_{j}_{name}"
+                    w = np.sin(2 * np.pi * freqs[emo] * t) + 0.01 * rng.standard_normal(len(t))
+                    p = tmp_path / f"{u}.wav"
+                    write_wav(str(p), w.astype(np.float32), sr)
+                    scp[u], u2s[u], u2e[u] = str(p), spk, emo
+        save_kaldi_format(scp, d / "wav.scp")
+        save_kaldi_format(u2s, d / "utt2spk")
+        save_kaldi_format(u2e, d / "utt2emo")
+        save_kaldi_format({"sA": "1", "sB": "2"}, d / "spk2fold")
+
+    def band_embed(w, s, dim=8):
+        spec = np.abs(np.fft.rfft(w)) ** 2
+        return np.log1p(np.array([float(b.sum()) for b in np.array_split(spec, dim)])) / 10.0
+
+    cfg = EvalConfig(
+        data_dir=tmp_path / "data", results_dir=tmp_path / "results",
+        ser=SERStep(datasets=["IEMOCAP_test"], emotions=tuple(emotions)),
+        sample_rate=sr,
+    )
+    res = run_evaluation(cfg, ser_embed_fn=band_embed)
+    orig = res["ser"][res["ser"]["ser"] == "original"]
+    assert float(orig["UAR"].iloc[0]) > 90.0
+    assert "---- SER results ----" in (tmp_path / "results" / "results_summary.txt").read_text()
