@@ -203,8 +203,37 @@ def cmd_evaluate(args):
         if args.ser_datasets else None,
         sample_rate=args.sample_rate,
     )
+    transcriber = None
+    if args.asr_datasets:
+        from streamvoiceanon_tpu.evals.kaldi import read_kaldi_format
+
+        sets = list(args.asr_datasets) + [d + args.anon_suffix for d in args.asr_datasets]
+        cached = all(
+            (Path(args.results_dir) / "asr" / s / "text").exists() for s in sets
+        )
+        if not cached and not args.asr_train_dirs:
+            sys.exit(
+                "evaluate: --asr-datasets given but hypotheses are not cached "
+                "under results-dir/asr and no --asr-train-dirs to fit the "
+                "native ASR_eval recognizer (evals/asr_eval_train.py)"
+            )
+        if not cached:
+            from streamvoiceanon_tpu.evals import asr_eval_train as aet
+            from streamvoiceanon_tpu.evals.anonymize import load_kaldi_dir
+
+            utts, texts = [], {}
+            for d in args.asr_train_dirs:
+                path = str(Path(args.data_dir) / d)
+                utts.extend(load_kaldi_dir(path, sample_rate=args.sample_rate))
+                texts.update(read_kaldi_format(Path(path) / "text"))
+            print(f"[asr_eval] training CTC recognizer on {len(utts)} utts", file=sys.stderr)
+            params, vocab = aet.train_asr_eval(
+                utts, texts, utt_sample_rate=args.sample_rate
+            )
+            transcriber = aet.make_transcriber(params, vocab)
+
     results = run_evaluation(cfg, campplus_params=cp_params, cp_cfg=cp_cfg,
-                             transcriber=None)
+                             transcriber=transcriber)
     for name, df in results.items():
         print(f"== {name} ==")
         print(df.to_string())
@@ -267,6 +296,9 @@ def main(argv=None):
     e.add_argument("--asv-distance", choices=["cosine", "plda"], default="cosine")
     e.add_argument("--asr-datasets", nargs="*", default=[],
                    help="WER sets (hypotheses cached under results-dir/asr)")
+    e.add_argument("--asr-train-dirs", nargs="*", default=[],
+                   help="kaldi dirs (wav.scp+text) to fit the native CTC "
+                        "ASR_eval when hypotheses are not cached")
     e.add_argument("--ser-datasets", nargs="*", default=[],
                    help="SER sets (fold heads trained in place on originals)")
     e.add_argument("--ser-emotions", nargs="*",

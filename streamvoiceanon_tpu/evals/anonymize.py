@@ -38,17 +38,13 @@ class Utterance:
 
 def load_kaldi_dir(path: str, sample_rate: int = 44100) -> List[Utterance]:
     """Reads wav.scp + utt2spk (kaldi layout, anon/utils/data_io.py:14-43)."""
-    scp = {}
-    with open(os.path.join(path, "wav.scp")) as f:
-        for line in f:
-            utt, wav_path = line.strip().split(None, 1)
-            scp[utt] = wav_path
+    from streamvoiceanon_tpu.evals.kaldi import read_kaldi_format
+
+    scp = read_kaldi_format(os.path.join(path, "wav.scp"))
     out = []
-    with open(os.path.join(path, "utt2spk")) as f:
-        for line in f:
-            utt, spk = line.strip().split()
-            wav, _ = read_wav(scp[utt], target_sr=sample_rate)
-            out.append(Utterance(utt, spk, wav))
+    for utt, spk in read_kaldi_format(os.path.join(path, "utt2spk")).items():
+        wav, _ = read_wav(scp[utt], target_sr=sample_rate)
+        out.append(Utterance(utt, spk, wav))
     return out
 
 
@@ -74,11 +70,14 @@ def anonymize_dataset(
         for s in speakers
     }
     out = []
+    spk_index = {s: i for i, s in enumerate(speakers)}
+    base_key = jax.random.PRNGKey(seed)
     for u in utterances:
         ref = spk_target[u.speaker] if per_speaker_targets else target_refs[
             rng.integers(len(target_refs))
         ]
-        key = jax.random.PRNGKey(hash((seed, u.speaker)) & 0x7FFFFFFF)
+        # deterministic per-speaker key (str hash() is process-salted)
+        key = jax.random.fold_in(base_key, spk_index[u.speaker])
         wav = converter.infer(u.wav, [ref], delay=delay, alpha=alpha, key=key)
         out.append(Utterance(u.utt_id, u.speaker, np.asarray(wav)))
     return out
@@ -147,6 +146,7 @@ def asv_scenarios(
     cfg,
     enroll_anon: Optional[Sequence[Utterance]] = None,
     distance: str = "cosine",
+    emb_cache: Optional[Dict[int, Tuple[np.ndarray, np.ndarray]]] = None,
 ) -> Dict[str, Dict[str, float]]:
     """EER + Cllr + linkability for the VPC attack scenarios
     (evaluate_asv.py:26-46):
@@ -156,26 +156,39 @@ def asv_scenarios(
     `distance` selects the scoring backend: 'cosine' or 'plda' (two-covariance
     PLDA trained per scenario on the enrollment cohort, asv.py backends).
     """
-    e_o = speaker_embeddings(campplus_params, cfg, enroll_orig)
-    t_o = speaker_embeddings(campplus_params, cfg, trial_orig)
-    t_a = speaker_embeddings(campplus_params, cfg, trial_anon)
-    labels_e = np.asarray([u.speaker for u in enroll_orig])
-    labels_t = np.asarray([u.speaker for u in trial_orig])
+    def emb_and_labels(utts):
+        # labels travel WITH each cohort: no cross-dir ordering assumption.
+        # emb_cache (keyed by cohort object identity) lets a caller scoring
+        # many (enroll, trial) pairs embed each cohort once.
+        if emb_cache is not None and id(utts) in emb_cache:
+            return emb_cache[id(utts)]
+        out = (
+            speaker_embeddings(campplus_params, cfg, utts),
+            np.asarray([u.speaker for u in utts]),
+        )
+        if emb_cache is not None:
+            emb_cache[id(utts)] = out
+        return out
+
+    e_o = emb_and_labels(enroll_orig)
+    t_o = emb_and_labels(trial_orig)
+    t_a = emb_and_labels(trial_anon)
 
     def scores(e, t):
+        (e_emb, e_lab), (t_emb, t_lab) = e, t
         if distance == "plda":
             from streamvoiceanon_tpu.evals.plda import train_plda
 
-            s = train_plda(e, labels_e).score(e, t)
+            s = train_plda(e_emb, e_lab).score(e_emb, t_emb)
         else:
-            s = pm.cosine_scores(e, t)
-        same = labels_e[:, None] == labels_t[None, :]
+            s = pm.cosine_scores(e_emb, t_emb)
+        same = e_lab[:, None] == t_lab[None, :]
         return s[same], s[~same]
 
     out = {}
     pairs = {"OO": (e_o, t_o), "OA": (e_o, t_a)}
     if enroll_anon is not None:
-        pairs["AA"] = (speaker_embeddings(campplus_params, cfg, enroll_anon), t_a)
+        pairs["AA"] = (emb_and_labels(enroll_anon), t_a)
     for name, (e, t) in pairs.items():
         tar, non = scores(e, t)
         dece, max_llr, tag = pm.zebra(tar, non)

@@ -154,17 +154,22 @@ def forward(params: Dict, cfg: ASREvalConfig, feat: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _features(wavs: List[np.ndarray], cfg: ASREvalConfig):
-    """Padded fbank batch (B, max_frames, 80) + mask."""
+def _features(wavs: List[np.ndarray], cfg: ASREvalConfig,
+              max_frames: Optional[int] = None):
+    """Padded fbank batch (B, max_frames, 80) + mask.  `max_frames` defaults
+    to the training window; inference callers pass a per-utterance bucket so
+    long audio is never truncated."""
+    if max_frames is None:
+        max_frames = cfg.max_frames
     feats = []
     for w in wavs:
         f = np.asarray(fbank_mod.fbank(jnp.asarray(w, jnp.float32)[None]))[0]
         feats.append(f - f.mean(axis=0, keepdims=True))
     B = len(feats)
-    out = np.zeros((B, cfg.max_frames, cfg.feat_dim), np.float32)
-    mask = np.zeros((B, cfg.max_frames), bool)
+    out = np.zeros((B, max_frames, cfg.feat_dim), np.float32)
+    mask = np.zeros((B, max_frames), bool)
     for i, f in enumerate(feats):
-        n = min(len(f), cfg.max_frames)
+        n = min(len(f), max_frames)
         out[i, :n] = f[:n]
         mask[i, :n] = True
     return out, mask
@@ -257,7 +262,11 @@ def make_transcriber(params: Dict, vocab: Dict[str, int],
         w = np.asarray(
             resample(jnp.asarray(wav, jnp.float32)[None], sr, cfg.sample_rate)
         )[0]
-        feats, mask = _features([w], cfg)
+        # no truncation at inference: pad to a 128-frame bucket (few compile
+        # variants, full audio always seen; fbank ~100 frames/s)
+        n_frames = max(len(w) // 160, 1)
+        bucket = int(np.ceil(n_frames / 128)) * 128
+        feats, mask = _features([w], cfg, max_frames=bucket)
         logits, om = fwd(params, jnp.asarray(feats), jnp.asarray(mask))
         return greedy_ctc_decode(np.asarray(logits)[0], np.asarray(om)[0], vocab)
 

@@ -78,17 +78,23 @@ def run_asv_step(
         trained = at.train_asv_eval(campplus_params, cp_cfg, train_utts,
                                     utt_sample_rate=cfg.sample_rate)
 
+    dir_cache: Dict[str, list] = {}
+    emb_cache: Dict = {}
+
+    def load_cached(name: str):
+        if name not in dir_cache:
+            dir_cache[name] = _load(cfg.data_dir, name, cfg.sample_rate)
+        return dir_cache[name]
+
     for enroll_name in step.enrolls:
         for trial_name in step.trials:
-            enroll = _load(cfg.data_dir, enroll_name, cfg.sample_rate)
-            trial = _load(cfg.data_dir, trial_name, cfg.sample_rate)
-            enroll_anon = _load(cfg.data_dir, enroll_name + cfg.anon_data_suffix,
-                                cfg.sample_rate)
-            trial_anon = _load(cfg.data_dir, trial_name + cfg.anon_data_suffix,
-                               cfg.sample_rate)
+            enroll = load_cached(enroll_name)
+            trial = load_cached(trial_name)
+            enroll_anon = load_cached(enroll_name + cfg.anon_data_suffix)
+            trial_anon = load_cached(trial_name + cfg.anon_data_suffix)
             res = asv_scenarios(enroll, trial, trial_anon, campplus_params,
                                 cp_cfg, enroll_anon=enroll_anon,
-                                distance=step.distance)
+                                distance=step.distance, emb_cache=emb_cache)
             cond_names = {"OO": ("original", "original"),
                           "OA": ("original", "anon"),
                           "AA": ("anon", "anon")}
@@ -141,8 +147,17 @@ def run_evaluation(
     (run_evaluation.py:213-216).  Returns {'asv': df, 'ser': df, 'asr': df}
     for whichever steps were configured."""
     results: Dict = {}
+    errors: List[BaseException] = []
+
+    def step(name, fn):
+        # a failing step must not lose the completed steps' summary
+        try:
+            results[name] = fn()
+        except Exception as e:  # noqa: BLE001 — re-raised after the summary
+            errors.append(e)
+
     if cfg.asv is not None:
-        results["asv"] = run_asv_step(cfg, cfg.asv, campplus_params, cp_cfg)
+        step("asv", lambda: run_asv_step(cfg, cfg.asv, campplus_params, cp_cfg))
     if cfg.ser is not None:
         from streamvoiceanon_tpu.evals.ser import (
             SERHeadConfig,
@@ -153,15 +168,16 @@ def run_evaluation(
 
         if ser_embed_fn is None:
             ser_embed_fn = campplus_embed_fn(campplus_params, cp_cfg)
-        if ser_classifiers is None:
-            # train leave-fold-out heads on the ORIGINAL data (the reference
-            # ships pretrained fold checkpoints; here they are fit in place)
+
+        def fit_fold_heads(dataset: str):
+            # leave-fold-out heads fit on that dataset's ORIGINAL data (the
+            # reference ships pretrained fold checkpoints; here in place)
             import jax as _jax
 
             from streamvoiceanon_tpu.audio.io import read_wav
             from streamvoiceanon_tpu.evals.kaldi import read_kaldi_format
 
-            d = Path(cfg.data_dir) / cfg.ser.datasets[0]
+            d = Path(cfg.data_dir) / dataset
             scp = read_kaldi_format(d / "wav.scp")
             utt2spk = read_kaldi_format(d / "utt2spk")
             utt2emo = read_kaldi_format(d / "utt2emo")
@@ -174,29 +190,45 @@ def run_evaluation(
                 emb_dim=next(iter(embs.values())).shape[-1],
                 n_classes=len(cfg.ser.emotions),
             )
-            ser_classifiers = train_fold_classifiers(
+            return train_fold_classifiers(
                 _jax.random.PRNGKey(0), head_cfg, embs, utt2emo, utt2spk,
                 spk2fold, list(cfg.ser.emotions),
             )
 
-        results["ser"] = evaluate_ser(
-            list(cfg.ser.datasets), Path(cfg.data_dir), ser_classifiers,
-            embed_fn=ser_embed_fn, emotions=list(cfg.ser.emotions),
-            results_dir=Path(cfg.results_dir) / "ser",
-            anon_data_suffix=cfg.anon_data_suffix,
-        )
+        def run_ser():
+            # fold protocols are per-dataset: heads supplied by the caller
+            # apply to every set; otherwise each dataset gets its own fit
+            import pandas as pd
+
+            frames = []
+            for ds in cfg.ser.datasets:
+                clfs = (ser_classifiers if ser_classifiers is not None
+                        else fit_fold_heads(ds))
+                frames.append(
+                    evaluate_ser(
+                        [ds], Path(cfg.data_dir), clfs,
+                        embed_fn=ser_embed_fn, emotions=list(cfg.ser.emotions),
+                        results_dir=Path(cfg.results_dir) / "ser" / ds,
+                        anon_data_suffix=cfg.anon_data_suffix,
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        step("ser", run_ser)
     if cfg.asr is not None:
         from streamvoiceanon_tpu.evals.wer import evaluate_asr
 
-        results["asr"] = evaluate_asr(
+        step("asr", lambda: evaluate_asr(
             list(cfg.asr.datasets), Path(cfg.data_dir), transcriber,
             results_dir=Path(cfg.results_dir) / "asr",
             anon_data_suffix=cfg.anon_data_suffix,
-        )
+        ))
     if results:
         save_result_summary(
             Path(cfg.results_dir) / "results_summary.txt", results
         )
+    if errors:
+        raise errors[0]
     return results
 
 

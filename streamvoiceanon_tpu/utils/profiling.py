@@ -24,11 +24,14 @@ import jax
 class StageTimers:
     """Accumulates wall-time samples per stage name.
 
-    Usage::
+    `stage()` is a plain host-side timer (async jitted work only counts its
+    dispatch); use `timed()` for device stages — it blocks on the outputs so
+    the sample includes device execution::
 
         timers = StageTimers()
-        with timers.stage("encode", fence=tokens):
-            tokens = encode(...)
+        with timers.stage("host_refill"):
+            schedule_refill(...)
+        tokens = timers.timed("encode", encode_fn, wav_chunk)
     """
 
     def __init__(self):

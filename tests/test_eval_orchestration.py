@@ -278,3 +278,21 @@ def test_run_evaluation_ser_autotrain(tmp_path):
     orig = res["ser"][res["ser"]["ser"] == "original"]
     assert float(orig["UAR"].iloc[0]) > 90.0
     assert "---- SER results ----" in (tmp_path / "results" / "results_summary.txt").read_text()
+
+
+def test_transcriber_no_truncation_on_long_audio():
+    """Inference pads to a per-utterance bucket: content past the training
+    window (max_frames) still reaches the decoder."""
+    import jax
+
+    from streamvoiceanon_tpu.evals import asr_eval_train as aet
+
+    cfg = aet.ASREvalConfig(dim=32, n_layers=1, n_heads=2, max_frames=64)
+    params = aet.init_params(jax.random.PRNGKey(0), cfg, vocab_size=3)
+    vocab = {"a": 1, "b": 2, "c": 3}
+    tr = aet.make_transcriber(params, vocab, cfg)
+    # 12 s @16k = ~1200 frames >> max_frames 64; must not raise and must
+    # process all frames (decode sees > 64//4 positions)
+    wav = np.random.default_rng(0).standard_normal(12 * 16000).astype(np.float32)
+    out = tr(wav, 16000)
+    assert isinstance(out, str)
