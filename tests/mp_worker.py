@@ -1,0 +1,89 @@
+"""Worker for the true multi-process jax.distributed test.
+
+Run as: python tests/mp_worker.py <port> <process_id> <num_processes>
+Each process owns 2 virtual CPU devices; together they form one global mesh
+(data x model) spanning "hosts", exercising initialize_multihost,
+global_batch_from_local (the split_dataset_by_node device-side counterpart)
+and a cross-host sharded train step with gloo collectives — the multi-host
+path SURVEY.md §2.4/§4 calls for, testable without TPU pods.
+"""
+
+import os
+import sys
+
+port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+import jax.numpy as jnp
+import numpy as np
+
+from streamvoiceanon_tpu.config import ARVCConfig, DualARConfig
+from streamvoiceanon_tpu.models import dual_ar
+from streamvoiceanon_tpu.parallel import mesh as meshlib
+from streamvoiceanon_tpu.train import step as trainstep
+
+
+def main():
+    meshlib.initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+    assert len(jax.devices()) == 2 * nproc
+    n_model = 2
+    m = meshlib.make_mesh(n_data=len(jax.devices()) // n_model, n_model=n_model)
+
+    dcfg = DualARConfig(
+        vocab_size=128, n_layer=2, n_head=4, dim=64, intermediate_size=128,
+        head_dim=16, max_seq_len=256, codebook_size=40, num_codebooks=8,
+        n_fast_layer=1, fast_dim=64, fast_n_head=4, fast_head_dim=16,
+        fast_intermediate_size=128,
+    )
+    cfg = ARVCConfig(decoder=dcfg, model_dim=64)
+    key = jax.random.PRNGKey(0)  # same seed on every host -> identical params
+    raw = {
+        "embedding": jax.random.normal(key, (dcfg.vocab_size, dcfg.dim)) * 0.02,
+        "context_in": {"w": jnp.zeros((cfg.context_dim, dcfg.dim)),
+                       "b": jnp.zeros((dcfg.dim,))},
+        "style_in": {"w": jnp.zeros((cfg.style_dim, dcfg.dim)),
+                     "b": jnp.zeros((dcfg.dim,))},
+        "model": dual_ar.prepare_params(dual_ar.random_params(key, dcfg)),
+        "wait4start": jnp.zeros((8, dcfg.dim)),
+        "wait4end": jnp.zeros((8, dcfg.dim)),
+    }
+    specs = jax.tree.map(lambda _: meshlib.P(), raw)
+    specs["model"] = meshlib.dual_ar_param_specs(raw["model"])
+    params = meshlib.shard_params(raw, m, specs)
+
+    optimizer = trainstep.make_optimizer()
+    state = trainstep.TrainState(params, optimizer.init(params), jnp.int32(0))
+
+    # per-host local batch -> globally sharded (different data per host)
+    T = 8
+    B_local = m.shape["data"] // nproc  # data rows owned by this host
+    rng = np.random.default_rng(100 + pid)
+    local = {
+        "content": rng.integers(1, 100, (B_local, T)).astype(np.int32),
+        "base_target": rng.integers(1, 100, (B_local, T)).astype(np.int32),
+        "target": rng.integers(0, 40, (B_local, dcfg.num_codebooks, T)).astype(np.int32),
+        "x_lens": np.full((B_local,), T, np.int32),
+        "style": rng.standard_normal((B_local, cfg.style_dim)).astype(np.float32),
+        "timbre": rng.standard_normal((B_local, 32, cfg.context_dim)).astype(np.float32),
+    }
+    batch = meshlib.global_batch_from_local(local, m)
+
+    with m:
+        new_state, aux = trainstep.train_step(state, batch, cfg, optimizer, 2)
+    jax.block_until_ready(new_state.params)
+    loss = float(aux["loss"])
+    assert np.isfinite(loss), loss
+    # the loss is a global (cross-host) mean: all hosts must agree exactly
+    print(f"LOSS {pid} {loss:.9f}", flush=True)
+    print(f"OK {pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
