@@ -142,4 +142,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon relay occasionally wedges or drops a connection mid-run
+    # (FailedPrecondition); one fresh-process-state retry salvages the run.
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        log(f"bench attempt 1 failed ({type(e).__name__}: {e}); retrying once")
+        time.sleep(30)
+        main()
