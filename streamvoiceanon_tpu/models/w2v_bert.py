@@ -36,11 +36,10 @@ class W2vBertTeacher:
 
     def _load_native(self):
         if self._native_params is None:
-            from transformers import AutoFeatureExtractor, Wav2Vec2BertModel
+            from transformers import Wav2Vec2BertModel
 
             from streamvoiceanon_tpu.models import w2v_bert_native as wn
 
-            self._processor = AutoFeatureExtractor.from_pretrained(self.model_name)
             hf = Wav2Vec2BertModel.from_pretrained(self.model_name)
             self._native_cfg = wn.W2VBertConfig()
             self._native_params = wn.convert(
@@ -61,14 +60,11 @@ class W2vBertTeacher:
             from streamvoiceanon_tpu.models import w2v_bert_native as wn
 
             self._load_native()
-            inputs = self._processor(
-                [w for w in wav], sampling_rate=16000, return_tensors="np",
-                padding=True,
-            )
+            # native featurization (parity-tested vs SeamlessM4T extractor):
+            # only the model weights come from the checkpoint
+            feats, mask = wn.stacked_features(jnp.asarray(wav))
             out = wn.apply(
-                self._native_params, self._native_cfg,
-                jnp.asarray(inputs["input_features"]),
-                mask=jnp.asarray(inputs["attention_mask"]),
+                self._native_params, self._native_cfg, feats, mask=mask,
                 num_layers=self.layer,
             )
             return np.asarray(out)

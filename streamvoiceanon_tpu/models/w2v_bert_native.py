@@ -136,6 +136,74 @@ def apply(params: Dict, cfg: W2VBertConfig, feats: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Feature extraction (SeamlessM4TFeatureExtractor semantics)
+# ---------------------------------------------------------------------------
+
+
+def stacked_features(wav16k: jax.Array, x_lens: Optional[jax.Array] = None):
+    """wav (B, T) float in [-1,1] @16 kHz -> (features (B, T', 160),
+    mask (B, T')): the teacher's input featurization
+    (transformers SeamlessM4TFeatureExtractor.__call__, checkpoint-free):
+    kaldi-mel 80-bin power-2 fbank (400/160/512, povey, preemph 0.97 with
+    HF's first-sample scaling, DC removal, mel floor 2^-23), per-mel-bin
+    mean/var normalization (ddof=1) over each utterance's valid frames,
+    then stride-2 frame stacking to 160 dims."""
+    from streamvoiceanon_tpu.audio.fbank import (
+        _dft_mats,
+        kaldi_mel_banks,
+        povey_window,
+    )
+
+    if wav16k.ndim == 1:
+        wav16k = wav16k[None]
+    win, hop, padded, n_mel = 400, 160, 512, 80
+    x = wav16k.astype(jnp.float32) * 32768.0
+    B, T = x.shape
+    m = 1 + (T - win) // hop
+    if x_lens is None:
+        x_lens = jnp.full((B,), T, jnp.int32)
+    frame_lens = 1 + (x_lens - win) // hop
+
+    frames = jax.lax.conv_general_dilated_patches(
+        x[:, :, None], filter_shape=(win,), window_strides=(hop,),
+        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+    ).reshape(B, m, win)
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    # HF preemphasis: in-place buffer[1:] -= p*buffer[:-1]; buffer[0] *= 1-p
+    prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+    pre = frames - 0.97 * prev
+    frames = pre.at[..., 0].set(frames[..., 0] * (1.0 - 0.97))
+    frames = frames * jnp.asarray(povey_window(win), jnp.float32)
+    frames = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - win)))
+    cos_m, sin_m = _dft_mats(padded)
+    re = jnp.einsum("bmw,wk->bmk", frames, jnp.asarray(cos_m),
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("bmw,wk->bmk", frames, jnp.asarray(sin_m),
+                    preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    mel_fb = jnp.asarray(kaldi_mel_banks(n_mel, padded, 16000.0))
+    mel = jnp.log(jnp.maximum(power @ mel_fb, 1.192092955078125e-07))
+
+    # per-utterance, per-mel-bin mean/var normalization over valid frames
+    valid = (jnp.arange(m)[None, :] < frame_lens[:, None]).astype(jnp.float32)
+    n = jnp.maximum(frame_lens.astype(jnp.float32), 1.0)[:, None]
+    mean = jnp.sum(mel * valid[..., None], axis=1) / n
+    var = jnp.sum((mel - mean[:, None]) ** 2 * valid[..., None], axis=1) / jnp.maximum(
+        n - 1.0, 1.0
+    )
+    mel = (mel - mean[:, None]) / jnp.sqrt(var[:, None] + 1e-7)
+    mel = mel * valid[..., None]
+
+    # stride-2 stacking (frame count zero-padded to even first, like the HF
+    # extractor's pad_to_multiple_of=2; a half-valid last row is masked out)
+    m2 = (m + 1) // 2
+    mel = jnp.pad(mel, ((0, 0), (0, m2 * 2 - m), (0, 0)))
+    feats = mel.reshape(B, m2, 2 * n_mel)
+    mask = (jnp.arange(m2)[None, :] < (frame_lens // 2)[:, None]).astype(jnp.int32)
+    return feats, mask
+
+
+# ---------------------------------------------------------------------------
 # HF state_dict converter
 # ---------------------------------------------------------------------------
 

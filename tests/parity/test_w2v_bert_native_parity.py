@@ -78,3 +78,31 @@ def test_w2v_bert_layer_truncation_matches_hidden_states():
     for n in (1, 2):
         got = np.asarray(wn.apply(params, cfg, jnp.asarray(feats), num_layers=n))
         np.testing.assert_allclose(got, hs[n].numpy(), atol=2e-4, rtol=1e-4)
+
+
+def test_stacked_features_matches_seamless_extractor():
+    """Native featurization == transformers SeamlessM4TFeatureExtractor
+    (constructed locally, no checkpoint) on a ragged batch."""
+    from transformers import SeamlessM4TFeatureExtractor
+
+    fe = SeamlessM4TFeatureExtractor()
+    rng = np.random.default_rng(0)
+    lens = [4000, 3210]
+    wavs = [rng.standard_normal(n).astype(np.float32) * 0.1 for n in lens]
+    want = fe(wavs, sampling_rate=16000, return_tensors="np")
+
+    T = max(lens)
+    batch = np.zeros((2, T), np.float32)
+    for i, w in enumerate(wavs):
+        batch[i, : len(w)] = w
+    feats, mask = wn.stacked_features(
+        jnp.asarray(batch), x_lens=jnp.asarray(lens)
+    )
+    feats, mask = np.asarray(feats), np.asarray(mask)
+
+    wf = want["input_features"]
+    wm = np.asarray(want["attention_mask"])
+    assert mask.shape == wm.shape and (mask == wm).all()
+    for b in range(2):
+        n = int(wm[b].sum())
+        np.testing.assert_allclose(feats[b, :n], wf[b, :n], atol=2e-4, rtol=1e-4)
