@@ -231,6 +231,39 @@ class StreamSession:
 
     # ------------------------------------------------------------------
 
+    def transfer(self, converter, device) -> "StreamSession":
+        """Return a copy of this session with all device state moved to
+        `device`, using `converter` (same config, params resident there).
+
+        Fast-start path: the one-time prep (prompt prefill, delay prefill,
+        warm-up chunks) can run on the local CPU backend — no relay
+        round-trips, local XLA compiles — and the live stream then continues
+        on the TPU, which only ever compiles the small per-chunk programs.
+        Mirrors the reference's torch.compile warm-up split
+        (real-time-gui.py:1234-1274) re-expressed for a remote accelerator.
+        """
+        import copy as _copy
+
+        new = _copy.copy(self)
+        new.cv = converter
+        put = lambda t: jax.device_put(t, device)
+        new.key = put(self.key)
+        new.ref_tokens = put(self.ref_tokens)
+        new.ref_codes = put(self.ref_codes)
+        if self.style is not None:
+            new.style = put(self.style)
+        if self.timbre is not None:
+            new.timbre = put(self.timbre)
+        if self.incremental:
+            new._mel_consts = put(self._mel_consts)
+            new.fstate = jax.tree.map(put, self.fstate)
+        else:
+            new.state = jax.tree.map(put, self.state)
+            new.wav_window = put(self.wav_window)
+            new.tok_ring = put(self.tok_ring)
+            new.code_window = put(self.code_window)
+        return new
+
     def _lm_state(self):
         return self.fstate.lm if self.incremental else self.state
 
