@@ -65,11 +65,13 @@ void svan_ring_destroy(void* h) {
 
 uint64_t svan_ring_capacity(void* h) { return static_cast<Ring*>(h)->capacity; }
 
-// Samples available to read.
+// Samples available to read (clamped to capacity: after an overrun the
+// producer may be ahead of the consumer's not-yet-resynced tail).
 uint64_t svan_ring_available(void* h) {
   Ring* r = static_cast<Ring*>(h);
-  return r->head.load(std::memory_order_acquire) -
-         r->tail.load(std::memory_order_acquire);
+  uint64_t d = r->head.load(std::memory_order_acquire) -
+               r->tail.load(std::memory_order_acquire);
+  return d > r->capacity ? r->capacity : d;
 }
 
 // Free space for writing.
@@ -79,8 +81,12 @@ uint64_t svan_ring_space(void* h) {
 }
 
 // Producer side (audio callback): copies n samples in.  If the ring is full
-// the OLDEST samples are dropped (real-time semantics: latest audio wins),
-// and the overrun counter is bumped.  Returns samples written.
+// the OLDEST samples are overwritten (real-time semantics: latest audio
+// wins) and the overrun counter is bumped.  The producer NEVER touches
+// `tail` — it is consumer-owned; a producer store would race the consumer's
+// `tail += take` and lose drops (head - tail could exceed capacity forever).
+// Instead the consumer detects the overrun from `head - tail > capacity`
+// and resyncs its own index (svan_ring_read/peek below).
 uint64_t svan_ring_write(void* h, const float* src, uint64_t n) {
   Ring* r = static_cast<Ring*>(h);
   uint64_t head = r->head.load(std::memory_order_relaxed);
@@ -88,14 +94,11 @@ uint64_t svan_ring_write(void* h, const float* src, uint64_t n) {
   uint64_t space = r->capacity - (head - tail);
   if (n > r->capacity) {
     src += n - r->capacity;
+    head += n - r->capacity;  // keep sample indexing continuous
     n = r->capacity;
   }
-  if (n > space) {
-    // drop oldest by advancing tail (consumer re-reads a coherent window)
-    uint64_t drop = n - space;
-    r->tail.store(tail + drop, std::memory_order_release);
-    r->overruns.fetch_add(drop, std::memory_order_relaxed);
-  }
+  if (n > space)
+    r->overruns.fetch_add(n - space, std::memory_order_relaxed);
   uint64_t mask = r->capacity - 1;
   for (uint64_t i = 0; i < n; ++i) r->data[(head + i) & mask] = src[i];
   r->head.store(head + n, std::memory_order_release);
@@ -104,33 +107,52 @@ uint64_t svan_ring_write(void* h, const float* src, uint64_t n) {
 
 // Consumer side: copies exactly n samples out if available; otherwise fills
 // with zeros (underrun) and returns the number of real samples delivered.
+// If the producer lapped us (head - tail > capacity), resync tail to the
+// oldest still-valid sample.  After copying, re-check head: the producer may
+// have overwritten the copied region mid-copy — bounded retry, since the
+// producer advances at audio rate while the copy is microseconds.
 uint64_t svan_ring_read(void* h, float* dst, uint64_t n) {
   Ring* r = static_cast<Ring*>(h);
-  uint64_t tail = r->tail.load(std::memory_order_relaxed);
-  uint64_t head = r->head.load(std::memory_order_acquire);
-  uint64_t avail = head - tail;
-  uint64_t take = avail < n ? avail : n;
   uint64_t mask = r->capacity - 1;
-  for (uint64_t i = 0; i < take; ++i) dst[i] = r->data[(tail + i) & mask];
+  uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  uint64_t take = 0;
+  for (int attempt = 0; attempt < 4; ++attempt) {
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    if (head - tail > r->capacity) tail = head - r->capacity;  // resync
+    uint64_t avail = head - tail;
+    take = avail < n ? avail : n;
+    for (uint64_t i = 0; i < take; ++i) dst[i] = r->data[(tail + i) & mask];
+    // validate: did the producer wrap over [tail, tail+take) during the copy?
+    uint64_t head2 = r->head.load(std::memory_order_acquire);
+    if (head2 - tail <= r->capacity) break;
+    tail = head2 - r->capacity;  // torn copy — resync and retry
+  }
   for (uint64_t i = take; i < n; ++i) dst[i] = 0.0f;
   if (take < n) r->underruns.fetch_add(n - take, std::memory_order_relaxed);
   r->tail.store(tail + take, std::memory_order_release);
   return take;
 }
 
-// Peek without consuming (for rolling-window style access).
+// Peek without consuming (for rolling-window style access).  Delivers the
+// most recent `take` samples right-aligned in dst; same torn-copy retry as
+// svan_ring_read.
 uint64_t svan_ring_peek(void* h, float* dst, uint64_t n) {
   Ring* r = static_cast<Ring*>(h);
-  uint64_t tail = r->tail.load(std::memory_order_relaxed);
-  uint64_t head = r->head.load(std::memory_order_acquire);
-  uint64_t avail = head - tail;
-  uint64_t take = avail < n ? avail : n;
   uint64_t mask = r->capacity - 1;
-  uint64_t start = head - take;
-  // deliver the most recent `take` samples right-aligned in dst
-  for (uint64_t i = 0; i < n - take; ++i) dst[i] = 0.0f;
-  for (uint64_t i = 0; i < take; ++i)
-    dst[n - take + i] = r->data[(start + i) & mask];
+  uint64_t tail = r->tail.load(std::memory_order_relaxed);
+  uint64_t take = 0;
+  for (int attempt = 0; attempt < 4; ++attempt) {
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    if (head - tail > r->capacity) tail = head - r->capacity;
+    uint64_t avail = head - tail;
+    take = avail < n ? avail : n;
+    uint64_t start = head - take;
+    for (uint64_t i = 0; i < n - take; ++i) dst[i] = 0.0f;
+    for (uint64_t i = 0; i < take; ++i)
+      dst[n - take + i] = r->data[(start + i) & mask];
+    uint64_t head2 = r->head.load(std::memory_order_acquire);
+    if (head2 - start <= r->capacity) break;  // copied window still valid
+  }
   return take;
 }
 

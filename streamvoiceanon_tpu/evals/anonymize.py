@@ -147,6 +147,7 @@ def asv_scenarios(
     enroll_anon: Optional[Sequence[Utterance]] = None,
     distance: str = "cosine",
     emb_cache: Optional[Dict[int, Tuple[np.ndarray, np.ndarray]]] = None,
+    sample_rate: int = 44100,
 ) -> Dict[str, Dict[str, float]]:
     """EER + Cllr + linkability for the VPC attack scenarios
     (evaluate_asv.py:26-46):
@@ -163,7 +164,7 @@ def asv_scenarios(
         if emb_cache is not None and id(utts) in emb_cache:
             return emb_cache[id(utts)]
         out = (
-            speaker_embeddings(campplus_params, cfg, utts),
+            speaker_embeddings(campplus_params, cfg, utts, sample_rate=sample_rate),
             np.asarray([u.speaker for u in utts]),
         )
         if emb_cache is not None:

@@ -94,7 +94,8 @@ def run_asv_step(
             trial_anon = load_cached(trial_name + cfg.anon_data_suffix)
             res = asv_scenarios(enroll, trial, trial_anon, campplus_params,
                                 cp_cfg, enroll_anon=enroll_anon,
-                                distance=step.distance, emb_cache=emb_cache)
+                                distance=step.distance, emb_cache=emb_cache,
+                                sample_rate=cfg.sample_rate)
             cond_names = {"OO": ("original", "original"),
                           "OA": ("original", "anon"),
                           "AA": ("anon", "anon")}

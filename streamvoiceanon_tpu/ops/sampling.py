@@ -41,6 +41,15 @@ def top_p_mask(logits: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(logits < thresh, -jnp.inf, logits)
 
 
+def window_covers_nucleus(logits: jax.Array, top_k_window: int, top_p: float):
+    """True iff the top-`k` window holds at least `top_p` cumulative
+    probability, i.e. the windowed nucleus filter in `sample_token` is exact
+    for these logits.  Pure/jittable — used by tests and runtime validation."""
+    vals, _ = jax.lax.top_k(logits.astype(jnp.float32), top_k_window)
+    logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1, keepdims=True)
+    return jnp.sum(jnp.exp(vals - logz), axis=-1) >= top_p
+
+
 def sample_token(
     key: jax.Array,
     logits: jax.Array,
@@ -74,6 +83,19 @@ def sample_token(
             cum = jnp.cumsum(probs, axis=-1)
             keep = cum - probs <= top_p  # keep while cumprob before <= p
             vals = jnp.where(keep, vals, -jnp.inf)
+            # guard the approximation: if the window's total mass is below
+            # top_p the nucleus extends past the window and the distribution
+            # is silently truncated (flat logits / untrained model / high
+            # temperature).  Flag it — exact path is top_k_window=0.
+            jax.lax.cond(
+                cum[..., -1] < top_p,
+                lambda: jax.debug.print(
+                    "sample_token: top-{k} window covers cum-prob {c:.3f} < "
+                    "top_p={p} — nucleus truncated; set top_k_window=0 for "
+                    "the exact full-vocab filter",
+                    k=top_k_window, c=cum[..., -1], p=top_p),
+                lambda: None,
+            )
         vals = vals / jnp.maximum(temperature, 1e-5)
         g = jax.random.gumbel(key, vals.shape, jnp.float32)
         j = jnp.argmax(vals + g, axis=-1)

@@ -44,10 +44,16 @@ class ASRTrainer:
         tcfg: ASRTrainerConfig,
         tokenizer_params: Dict,
         asr_params: Dict,
+        teacher_fn=None,
     ):
+        """`teacher_fn(waves, wave_lens) -> (feats, feat_lens)` computes the
+        frozen w2v-BERT distillation targets (asr_trainer.py:301-303) for
+        batches that come straight off the dataloader; precomputed
+        `teacher_feats`/`teacher_lens` in the batch take precedence."""
         self.cfg = cfg
         self.acfg = acfg
         self.tcfg = tcfg
+        self.teacher_fn = teacher_fn
         self.mesh = meshlib.make_mesh()
         self.params = {
             "tokenizer": meshlib.replicate(tokenizer_params, self.mesh),
@@ -87,7 +93,23 @@ class ASRTrainer:
         return params, opt_state, dict(aux, loss=loss)
 
     def train_step(self, batch: Dict) -> Dict:
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        """Accepts either a fully prepared batch (tests) or a raw dataloader
+        batch from `train.data.batches` (waves/wave_lens/frame_lens/text/
+        text_lens) — latent lengths default to the frame lengths and teacher
+        features are computed by `teacher_fn`."""
+        batch = dict(batch)
+        if "latent_lens" not in batch and "frame_lens" in batch:
+            batch["latent_lens"] = batch["frame_lens"]
+        if "teacher_feats" not in batch:
+            if self.teacher_fn is None:
+                raise ValueError(
+                    "batch lacks teacher_feats and no teacher_fn was given"
+                )
+            feats, lens = self.teacher_fn(batch["waves"], batch["wave_lens"])
+            batch["teacher_feats"], batch["teacher_lens"] = feats, lens
+        keep = {"waves", "teacher_feats", "teacher_lens", "latent_lens",
+                "text", "text_lens", "style"}
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k in keep}
         with self.mesh:
             self.params, self.opt_state, aux = self._step(
                 self.params, self.opt_state, batch

@@ -47,3 +47,51 @@ def test_asr_trainer_step():
     aux2 = trainer.train_step(batch)
     assert np.isfinite(aux1["loss"]) and np.isfinite(aux2["loss"])
     assert aux2["loss"] != aux1["loss"]  # parameters actually updated
+
+
+def test_asr_trainer_from_dataloader():
+    """End-to-end: the trainer consumes `train.data.batches` output directly
+    — transcripts are cleaned/normalized/tokenized inside the pipeline
+    (hf_stream_dataloader.py:163-241 equivalent), no hand-built text
+    tensors."""
+    from streamvoiceanon_tpu.train import data as datalib
+    from streamvoiceanon_tpu.train.text import TextTokenizer
+
+    cfg = tinymodels.tiny_config()
+    tok_cfg = replace(
+        cfg.tokenizer,
+        head=ConvNeXtConfig(
+            input_channels=32, depths=(1, 1), dims=(24, 40), gin_channels=0
+        ),
+    )
+    cfg = replace(cfg, tokenizer=tok_cfg)
+    acfg = asr_decoder.ASRDecoderConfig(
+        hidden_dim=32, num_heads=2, depth=1, block_size=2048, in_channels=32,
+        n_vocab=51866, bos_id=50528, eos_id=50527,
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tok_params = tokenizer.init(k1, tok_cfg, with_head=True)
+    asr_params = asr_decoder.init(k2, acfg)
+
+    def teacher_fn(waves, wave_lens):
+        # frozen-teacher stand-in: deterministic features at ~4x token rate
+        B, T = waves.shape
+        n = T // 2048 * 4
+        feats = np.asarray(waves).reshape(B, T // 512, 512)[:, :n].mean(-1)
+        feats = np.repeat(feats[:, :n, None], 40, axis=-1)
+        return feats.astype(np.float32), np.asarray(wave_lens) // 512
+
+    trainer = ASRTrainer(cfg, acfg, ASRTrainerConfig(), tok_params, asr_params,
+                         teacher_fn=teacher_fn)
+    dcfg = datalib.DataConfig(batch_size=2)
+    src = datalib.attach_text_ids(
+        datalib.synthetic_dataset(dcfg, seed=0, frames=(4, 8)),
+        TextTokenizer(bos_id=50528, eos_id=50527),
+    )
+    it = datalib.batches(src, dcfg)
+    b = next(it)
+    assert "text" in b and "text_lens" in b and b["text"].ndim == 2
+    aux = trainer.train_step(b)
+    assert np.isfinite(aux["loss"])
+    aux2 = trainer.train_step(next(it))
+    assert np.isfinite(aux2["loss"])

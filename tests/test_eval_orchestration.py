@@ -152,7 +152,7 @@ def test_chinese_fraction_and_phone():
 
     assert normalize_chinese("占1/3左右") == "占三分之一左右"
     out = normalize_chinese("电话010-12345678")
-    assert "零幺零幺二三四五六七八" == out.replace("电话", "")
+    assert "零一零一二三四五六七八" == out.replace("电话", "")
     assert normalize_chinese("3/4拍") == "四分之三拍"
 
 

@@ -73,3 +73,52 @@ def test_ring_threaded_spsc():
     assert len(out) == total
     assert r.overruns() == 0
     np.testing.assert_array_equal(out, src)
+
+
+def test_ring_overrun_race_consumer_resync():
+    """Producer floods the ring while the consumer reads: the SPSC invariant
+    (only the consumer writes `tail`) means every read must deliver a
+    coherent window — strictly increasing sample values, never more than
+    capacity behind the freshest write, and available() never exceeds
+    capacity (the round-1 producer-side tail store lost drops under exactly
+    this overload interleaving)."""
+    cap = 1 << 10
+    r = RingBuffer(cap)
+    total = 1 << 18
+    stop = threading.Event()
+    errors = []
+
+    def producer():
+        i = 0
+        while i < total and not stop.is_set():
+            n = 512
+            r.write(np.arange(i, i + n, dtype=np.float32))
+            i += n
+
+    def consumer():
+        last = -1.0
+        while not stop.is_set():
+            avail = r.available()
+            if avail > cap:
+                errors.append(f"available {avail} > capacity {cap}")
+                return
+            out = r.read(256)
+            vals = out[out > 0]  # zero-fill from underruns is allowed
+            if len(vals):
+                if np.any(np.diff(vals) <= 0):
+                    errors.append("non-monotone window (torn read)")
+                    return
+                if vals[-1] <= last:
+                    errors.append("window went backwards across reads")
+                    return
+                last = float(vals[-1])
+
+    tp = threading.Thread(target=producer)
+    tc = threading.Thread(target=consumer)
+    tc.start()
+    tp.start()
+    tp.join()
+    stop.set()
+    tc.join(timeout=10)
+    assert not errors, errors
+    assert r.overruns() > 0, "stress test never hit the overrun path"
