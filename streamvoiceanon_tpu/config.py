@@ -119,11 +119,28 @@ class DualARConfig:
     cond_input_dim: int = 768
     style_input_dim: int = 192
 
+    # Route the slow-stack frame-decode attention through the fused Pallas
+    # update+attend kernel (ops/pallas_attention.py).  The KV caches are then
+    # stored pre-padded to 128 lanes (Mosaic tile alignment), so this is a
+    # state-layout choice, not just a code path.  Benchmark before enabling:
+    # at head_dim 64 / MHA the XLA path is already near the HBM-bandwidth
+    # floor and the kernel's full-block cache writeback doubles traffic
+    # (BENCH.md "decode attention" section).
+    use_pallas_decode: bool = False
+
     def __post_init__(self):
         if self.n_local_heads == -1:
             object.__setattr__(self, "n_local_heads", self.n_head)
         if self.fast_n_local_heads == -1:
             object.__setattr__(self, "fast_n_local_heads", self.fast_n_head)
+
+    @property
+    def cache_head_dim(self) -> int:
+        """KV-cache head dim: 128-lane padded when the Pallas decode kernel
+        owns the cache layout."""
+        if self.use_pallas_decode and self.head_dim % 128 != 0:
+            return self.head_dim + (128 - self.head_dim % 128)
+        return self.head_dim
 
     @property
     def max_delay(self) -> int:

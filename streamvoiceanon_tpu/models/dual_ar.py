@@ -30,8 +30,14 @@ import numpy as np
 
 from streamvoiceanon_tpu.config import DualARConfig, SamplingConfig
 from streamvoiceanon_tpu.ops.norm import rms_norm
+from streamvoiceanon_tpu.ops.pallas_attention import decode_attention_prepadded
 from streamvoiceanon_tpu.ops.rope import apply_rope, precompute_freqs_cis
 from streamvoiceanon_tpu.ops.sampling import sample_token
+
+
+def _pallas_interpret() -> bool:
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests)."""
+    return jax.default_backend() != "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -133,9 +139,17 @@ def _attn_block(
     n_local: int,
     head_dim: int,
     norm_eps: float,
+    use_pallas: bool = False,
 ):
     """One transformer block.  If kv is given, k/v are written at `pos` into
-    the cache and attention runs over the full cache length."""
+    the cache and attention runs over the full cache length.
+
+    The caches may be stored with a head dim padded beyond `head_dim` (the
+    Pallas decode layout, config.DualARConfig.cache_head_dim); the XLA path
+    pads new rows on write and slices the true lanes back on read.  With
+    `use_pallas` (decode steps only: pure-causal mask, n_local == n_head) the
+    fused update+attend kernel runs instead, keeping the padded cache layout
+    end to end."""
     B, T, dim = x.shape
     h = rms_norm(x, lp["attention_norm"]["w"], norm_eps)
     qkv = h @ lp["wqkv"]["w"]
@@ -147,15 +161,48 @@ def _attn_block(
     k = jnp.swapaxes(k, 1, 2)
     v = jnp.swapaxes(v, 1, 2)
 
+    if use_pallas and kv is not None:
+        if n_local != n_head:
+            raise NotImplementedError("pallas decode path requires MHA (no GQA)")
+        k_cache, v_cache = kv  # (B, H, S, Dp)
+        S, Dp = k_cache.shape[-2:]
+        out, kc, vc = decode_attention_prepadded(
+            q.reshape(B * n_head, T, head_dim).astype(k_cache.dtype),
+            k.reshape(B * n_head, T, head_dim).astype(k_cache.dtype),
+            v.reshape(B * n_head, T, head_dim).astype(k_cache.dtype),
+            k_cache.reshape(B * n_head, S, Dp),
+            v_cache.reshape(B * n_head, S, Dp),
+            pos,
+            true_head_dim=head_dim,
+            interpret=_pallas_interpret(),
+        )
+        out = jnp.swapaxes(out.reshape(B, n_head, T, head_dim), 1, 2)
+        out = out.reshape(B, T, n_head * head_dim).astype(x.dtype)
+        x = x + out @ lp["wo"]["w"]
+        f = rms_norm(x, lp["ffn_norm"]["w"], norm_eps)
+        f = (jax.nn.silu(f @ lp["w1"]["w"]) * (f @ lp["w3"]["w"])) @ lp["w2"]["w"]
+        new_kv = (
+            kc.reshape(B, n_head, S, Dp),
+            vc.reshape(B, n_head, S, Dp),
+        )
+        return x + f, new_kv
+
     if kv is not None:
         k_cache, v_cache = kv
+        cache_dim = k_cache.shape[-1]
+        if cache_dim != head_dim:  # pallas-padded layout driven by an XLA step
+            padw = ((0, 0), (0, 0), (0, 0), (0, cache_dim - head_dim))
+            k_w, v_w = jnp.pad(k, padw), jnp.pad(v, padw)
+        else:
+            k_w, v_w = k, v
         k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0)
+            k_cache, k_w.astype(k_cache.dtype), (0, 0, pos, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0)
+            v_cache, v_w.astype(v_cache.dtype), (0, 0, pos, 0)
         )
-        k_all, v_all = k_cache.astype(x.dtype), v_cache.astype(x.dtype)
+        k_all = k_cache[..., :head_dim].astype(x.dtype)
+        v_all = v_cache[..., :head_dim].astype(x.dtype)
         new_kv = (k_cache, v_cache)
     else:
         k_all, v_all = k, v
@@ -189,6 +236,7 @@ def _run_layers(
     n_local: int,
     head_dim: int,
     norm_eps: float,
+    use_pallas: bool = False,
 ):
     """lax.scan over stacked layers, threading x and the per-layer caches."""
 
@@ -196,7 +244,8 @@ def _run_layers(
         h = carry
         lp, kv = inp
         h, new_kv = _attn_block(
-            lp, h, freqs, mask, kv, pos, n_head, n_local, head_dim, norm_eps
+            lp, h, freqs, mask, kv, pos, n_head, n_local, head_dim, norm_eps,
+            use_pallas=use_pallas,
         )
         return h, new_kv
 
@@ -225,7 +274,7 @@ class DecodeState(NamedTuple):
 def init_state(
     cfg: DualARConfig, batch: int = 1, cache_dtype=jnp.bfloat16
 ) -> DecodeState:
-    shape = (cfg.n_layer, batch, cfg.n_local_heads, cfg.max_seq_len, cfg.head_dim)
+    shape = (cfg.n_layer, batch, cfg.n_local_heads, cfg.max_seq_len, cfg.cache_head_dim)
     return DecodeState(
         jnp.zeros(shape, cache_dtype),
         jnp.zeros(shape, cache_dtype),
@@ -464,6 +513,7 @@ def decode_frame(
     x, caches = _run_layers(
         params["layers"], emb2, freqs, mask, (state.k_cache, state.v_cache),
         state.pos, cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
+        use_pallas=cfg.use_pallas_decode,
     )
     last = x[:, -1:]
     logits = _token_logits(params, cfg, last)[:, -1]  # (B, vocab)

@@ -104,6 +104,32 @@ def decode_attention(
     return _call_kernel(q, k_new, v_new, k_cache, v_cache, pos, interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("true_head_dim", "interpret"))
+def decode_attention_prepadded(
+    q: jax.Array,  # (H, T, D) — true head dim
+    k_new: jax.Array,  # (H, T, D)
+    v_new: jax.Array,  # (H, T, D)
+    k_cache: jax.Array,  # (H, S, Dp) — pre-padded to a 128-lane multiple
+    v_cache: jax.Array,  # (H, S, Dp)
+    pos: jax.Array,  # scalar int32 — first cache slot to write
+    *,
+    true_head_dim: int,
+    interpret: bool = False,
+):
+    """decode_attention for caches stored pre-padded to the Mosaic lane width
+    (config.DualARConfig.cache_head_dim).  Only the tiny per-step tensors are
+    padded per call; the big caches keep their padded layout end to end.
+    Returns (out (H, T, true_head_dim), k_cache', v_cache')."""
+    H, T, D = q.shape
+    Dp = k_cache.shape[-1]
+    q = (q.astype(jnp.float32) / np.sqrt(true_head_dim)).astype(q.dtype)
+    if Dp != D:
+        padw = ((0, 0), (0, 0), (0, Dp - D))
+        q, k_new, v_new = (jnp.pad(a, padw) for a in (q, k_new, v_new))
+    out, kc, vc = _call_kernel(q, k_new, v_new, k_cache, v_cache, pos, interpret)
+    return out[..., :D], kc, vc
+
+
 def _call_kernel(q, k_new, v_new, k_cache, v_cache, pos, interpret):
     H, T, D = q.shape
     S = k_cache.shape[1]

@@ -87,15 +87,19 @@ def sample_token(
             # top_p the nucleus extends past the window and the distribution
             # is silently truncated (flat logits / untrained model / high
             # temperature).  Flag it — exact path is top_k_window=0.
-            jax.lax.cond(
-                cum[..., -1] < top_p,
-                lambda: jax.debug.print(
-                    "sample_token: top-{k} window covers cum-prob {c:.3f} < "
-                    "top_p={p} — nucleus truncated; set top_k_window=0 for "
-                    "the exact full-vocab filter",
-                    k=top_k_window, c=cum[..., -1], p=top_p),
-                lambda: None,
-            )
+            # jax.debug.print lowers to a host callback, which the axon TPU
+            # relay does not support (UNIMPLEMENTED: host send/recv), so the
+            # guard only runs on callback-capable backends (CPU tests/dev).
+            if jax.default_backend() != "tpu":
+                jax.lax.cond(
+                    cum[..., -1] < top_p,
+                    lambda: jax.debug.print(
+                        "sample_token: top-{k} window covers cum-prob {c:.3f}"
+                        " < top_p={p} — nucleus truncated; set top_k_window=0"
+                        " for the exact full-vocab filter",
+                        k=top_k_window, c=cum[..., -1], p=top_p),
+                    lambda: None,
+                )
         vals = vals / jnp.maximum(temperature, 1e-5)
         g = jax.random.gumbel(key, vals.shape, jnp.float32)
         j = jnp.argmax(vals + g, axis=-1)

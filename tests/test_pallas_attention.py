@@ -50,3 +50,49 @@ def test_decode_attention_pos_zero(rng):
     want_o, _, _ = _xla_reference(q, kn, vn, kc, vc, 0)
     got_o, _, _ = decode_attention(q, kn, vn, kc, vc, 0, interpret=True)
     np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), atol=1e-4)
+
+
+def test_decode_frame_pallas_flag_parity(rng):
+    """End-to-end flag parity: decode_frame with use_pallas_decode (pre-padded
+    cache layout + fused kernel, interpret mode on CPU) must reproduce the XLA
+    path's greedy tokens and hidden-state numerics after prefill."""
+    from streamvoiceanon_tpu import config as C
+    from streamvoiceanon_tpu.models import dual_ar
+
+    base = C.DualARConfig(
+        vocab_size=256, n_layer=2, n_head=2, dim=32, intermediate_size=64,
+        head_dim=16, max_seq_len=256, codebook_size=64, num_codebooks=8,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_head_dim=16,
+        fast_intermediate_size=64,
+    )
+    cfg_p = C.replace(base, use_pallas_decode=True)
+    assert cfg_p.cache_head_dim == 128 and base.cache_head_dim == 16
+
+    params = dual_ar.prepare_params(dual_ar.random_params(jax.random.PRNGKey(1), base))
+    samp = C.SamplingConfig(greedy=True)
+    prompt = jnp.asarray(rng.standard_normal((1, 12, base.dim)).astype(np.float32))
+    valid = jnp.int32(9)
+
+    outs = {}
+    for name, cfg in (("xla", base), ("pallas", cfg_p)):
+        state = dual_ar.init_state(cfg, batch=1, cache_dtype=jnp.float32)
+        state, hidden = dual_ar.prefill(params, cfg, state, prompt, valid)
+        toks, all_codes = [], []
+        key = jax.random.PRNGKey(2)
+        for i in range(4):
+            emb2 = jnp.asarray(
+                np.random.default_rng(100 + i).standard_normal((1, 2, base.dim)).astype(np.float32)
+            )
+            state, tok, codes = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
+            toks.append(int(tok[0]))
+            all_codes.append(np.asarray(codes))
+        outs[name] = (toks, np.stack(all_codes), np.asarray(hidden),
+                      np.asarray(state.k_cache[..., : base.head_dim]))
+
+    assert outs["xla"][0] == outs["pallas"][0]
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
+    np.testing.assert_allclose(outs["xla"][2], outs["pallas"][2], atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs["xla"][3], outs["pallas"][3], atol=1e-4, rtol=1e-4)
+    # padded lanes beyond head_dim stay zero in the pallas layout
+    state_p = dual_ar.init_state(cfg_p, batch=1, cache_dtype=jnp.float32)
+    assert state_p.k_cache.shape[-1] == 128
