@@ -197,6 +197,7 @@ def cmd_evaluate(args):
             train_asv_on_anon=args.train_asv_on_anon,
             train_dirs=args.train_dirs or (),
             distance=args.asv_distance,
+            anon_backbone=args.asv_anon_backbone,
         ) if args.asv_enrolls else None,
         asr=ASRStep(datasets=args.asr_datasets) if args.asr_datasets else None,
         ser=SERStep(datasets=args.ser_datasets, emotions=tuple(args.ser_emotions))
@@ -218,7 +219,6 @@ def cmd_evaluate(args):
                 "native ASR_eval recognizer (evals/asr_eval_train.py)"
             )
         if not cached:
-            from streamvoiceanon_tpu.evals import asr_eval_train as aet
             from streamvoiceanon_tpu.evals.anonymize import load_kaldi_dir
 
             utts, texts = [], {}
@@ -226,11 +226,24 @@ def cmd_evaluate(args):
                 path = str(Path(args.data_dir) / d)
                 utts.extend(load_kaldi_dir(path, sample_rate=args.sample_rate))
                 texts.update(read_kaldi_format(Path(path) / "text"))
-            print(f"[asr_eval] training CTC recognizer on {len(utts)} utts", file=sys.stderr)
-            params, vocab = aet.train_asr_eval(
-                utts, texts, utt_sample_rate=args.sample_rate
-            )
-            transcriber = aet.make_transcriber(params, vocab)
+            if args.asr_model == "w2v":
+                from streamvoiceanon_tpu.evals import asr_eval_w2v as aw
+
+                print(f"[asr_eval] training w2v-BERT conformer recognizer on "
+                      f"{len(utts)} utts", file=sys.stderr)
+                params, vocab = aw.train_asr_eval_w2v(
+                    utts, texts, utt_sample_rate=args.sample_rate
+                )
+                transcriber = aw.make_transcriber_w2v(params, vocab)
+            else:
+                from streamvoiceanon_tpu.evals import asr_eval_train as aet
+
+                print(f"[asr_eval] training compact CTC recognizer on "
+                      f"{len(utts)} utts", file=sys.stderr)
+                params, vocab = aet.train_asr_eval(
+                    utts, texts, utt_sample_rate=args.sample_rate
+                )
+                transcriber = aet.make_transcriber(params, vocab)
 
     results = run_evaluation(cfg, campplus_params=cp_params, cp_cfg=cp_cfg,
                              transcriber=transcriber)
@@ -294,11 +307,20 @@ def main(argv=None):
                    help="eval_post: retrain ASV on anonymized --train-dirs")
     e.add_argument("--train-dirs", nargs="*", default=[])
     e.add_argument("--asv-distance", choices=["cosine", "plda"], default="cosine")
+    e.add_argument("--asv-anon-backbone", choices=["campplus", "ecapa"],
+                   default="campplus",
+                   help="ASV_eval^anon attacker: fine-tuned CAMPPlus head or "
+                        "ECAPA-TDNN trained from random init (VPC protocol, "
+                        "evals/ecapa_asv.py)")
     e.add_argument("--asr-datasets", nargs="*", default=[],
                    help="WER sets (hypotheses cached under results-dir/asr)")
     e.add_argument("--asr-train-dirs", nargs="*", default=[],
-                   help="kaldi dirs (wav.scp+text) to fit the native CTC "
+                   help="kaldi dirs (wav.scp+text) to fit the native "
                         "ASR_eval when hypotheses are not cached")
+    e.add_argument("--asr-model", choices=["w2v", "compact"], default="w2v",
+                   help="ASR_eval family: w2v-BERT conformer CTC "
+                        "(evals/asr_eval_w2v.py, the VPC-protocol-grade "
+                        "attacker) or the compact char-CTC transformer")
     e.add_argument("--ser-datasets", nargs="*", default=[],
                    help="SER sets (fold heads trained in place on originals)")
     e.add_argument("--ser-emotions", nargs="*",

@@ -27,6 +27,12 @@ class ASVStep:
     train_asv_on_anon: bool = False  # eval_post: retrain ASV on anonymized data
     train_dirs: Sequence[str] = ()   # kaldi dirs for retraining (e.g. libri-360_anon)
     distance: str = "cosine"         # 'cosine' | 'plda'
+    # ASV_eval^anon attacker family (asv_train/train_speaker_embeddings.py
+    # hparams): 'campplus' fine-tunes the pretrained CAMPPlus head;
+    # 'ecapa' trains an ECAPA-TDNN from random init (the VPC protocol).
+    anon_backbone: str = "campplus"  # 'campplus' | 'ecapa'
+    ecapa_cfg: Optional[object] = None  # evals.ecapa_asv.ECAPAASVConfig override
+    campplus_cfg: Optional[object] = None  # evals.asv_train.ASVTrainConfig override
 
 
 @dataclasses.dataclass
@@ -71,12 +77,23 @@ def run_asv_step(
 
     rows: List[Dict] = []
     trained = None
+    ecapa_model = None
+    ecapa_cfg = None
     if step.train_asv_on_anon and step.train_dirs:
         train_utts = []
         for d in step.train_dirs:
             train_utts.extend(_load(cfg.data_dir, d, cfg.sample_rate))
-        trained = at.train_asv_eval(campplus_params, cp_cfg, train_utts,
-                                    utt_sample_rate=cfg.sample_rate)
+        if step.anon_backbone == "ecapa":
+            from streamvoiceanon_tpu.evals import ecapa_asv as ea
+
+            ecapa_cfg = step.ecapa_cfg or ea.ECAPAASVConfig()
+            ecapa_model = ea.train_ecapa_asv(train_utts, ecapa_cfg,
+                                             utt_sample_rate=cfg.sample_rate)
+        else:
+            at_cfg = step.campplus_cfg or at.ASVTrainConfig()
+            trained = at.train_asv_eval(campplus_params, cp_cfg, train_utts,
+                                        at_cfg,
+                                        utt_sample_rate=cfg.sample_rate)
 
     dir_cache: Dict[str, list] = {}
     emb_cache: Dict = {}
@@ -110,14 +127,29 @@ def run_asv_step(
                     "linkability": round(metrics["linkability"], 4),
                     "model": "ASV_eval",
                 })
-            if trained is not None:
-                e_emb = at.extract_embeddings(trained, cp_cfg, enroll_anon,
-                                              sample_rate=cfg.sample_rate)
-                t_emb = at.extract_embeddings(trained, cp_cfg, trial_anon,
-                                              sample_rate=cfg.sample_rate)
+            if trained is not None or ecapa_model is not None:
+                if ecapa_model is not None:
+                    from streamvoiceanon_tpu.evals import ecapa_asv as ea
+
+                    e_emb = ea.extract_embeddings(
+                        ecapa_model, ecapa_cfg, enroll_anon,
+                        sample_rate=cfg.sample_rate)
+                    t_emb = ea.extract_embeddings(
+                        ecapa_model, ecapa_cfg, trial_anon,
+                        sample_rate=cfg.sample_rate)
+                else:
+                    e_emb = at.extract_embeddings(trained, cp_cfg, enroll_anon,
+                                                  sample_rate=cfg.sample_rate)
+                    t_emb = at.extract_embeddings(trained, cp_cfg, trial_anon,
+                                                  sample_rate=cfg.sample_rate)
                 labels_e = np.asarray([u.speaker for u in enroll_anon])
                 labels_t = np.asarray([u.speaker for u in trial_anon])
-                s = pm.cosine_scores(e_emb, t_emb)
+                if step.distance == "plda":
+                    from streamvoiceanon_tpu.evals.plda import train_plda
+
+                    s = train_plda(e_emb, labels_e).score(e_emb, t_emb)
+                else:
+                    s = pm.cosine_scores(e_emb, t_emb)
                 same = labels_e[:, None] == labels_t[None, :]
                 tar, non = s[same], s[~same]
                 rows.append({
@@ -128,6 +160,7 @@ def run_asv_step(
                     "cllr_min": round(pm.min_cllr(tar, non), 4),
                     "linkability": round(pm.linkability(tar, non), 4),
                     "model": "ASV_eval_anon",
+                    "backbone": step.anon_backbone,
                 })
     df = pd.DataFrame(rows)
     out = Path(cfg.results_dir)

@@ -45,10 +45,13 @@ def _conv1d(x, w, b=None, *, dilation=1, padding=0):
 # ---------------------------------------------------------------------------
 
 
-def _res2_block(p: Dict, x: jax.Array, dilation: int, scale: int = 8) -> jax.Array:
-    """SE_Res2Block (ecapa_tdnn.py:135-149): 1x1 -> res2 conv -> 1x1 -> SE."""
+def _res2_block(p: Dict, x: jax.Array, dilation: int, scale: int = 8,
+                bn_fn=_bn) -> jax.Array:
+    """SE_Res2Block (ecapa_tdnn.py:135-149): 1x1 -> res2 conv -> 1x1 -> SE.
+    `bn_fn` lets training-mode callers (evals/ecapa_asv.py) swap stored-stat
+    batch norm for batch-stat normalization."""
     h = jax.nn.relu(_conv1d(x, p["conv1_w"], p["conv1_b"]))
-    h = _bn(p["bn1"], h)
+    h = bn_fn(p["bn1"], h)
     # Res2: split channels into `scale` groups; rolling conv with carry
     width = h.shape[-1] // scale
     sp = jnp.split(h, scale, axis=-1)
@@ -61,12 +64,12 @@ def _res2_block(p: Dict, x: jax.Array, dilation: int, scale: int = 8) -> jax.Arr
             carry, p["res2"][i]["w"], p["res2"][i]["b"],
             dilation=dilation, padding=dilation,
         )
-        carry = _bn(p["res2"][i]["bn"], jax.nn.relu(carry))
+        carry = bn_fn(p["res2"][i]["bn"], jax.nn.relu(carry))
         outs.append(carry)
     outs.append(sp[scale - 1])
     h = jnp.concatenate(outs, axis=-1)
     h = jax.nn.relu(_conv1d(h, p["conv2_w"], p["conv2_b"]))
-    h = _bn(p["bn2"], h)
+    h = bn_fn(p["bn2"], h)
     # SE connect
     s = jnp.mean(h, axis=1)
     s = jax.nn.relu(s @ p["se1_w"] + p["se1_b"])
@@ -74,14 +77,14 @@ def _res2_block(p: Dict, x: jax.Array, dilation: int, scale: int = 8) -> jax.Arr
     return x + h * s[:, None]
 
 
-def ecapa_latents(params: Dict, mel: jax.Array) -> jax.Array:
+def ecapa_latents(params: Dict, mel: jax.Array, bn_fn=_bn) -> jax.Array:
     """mel (B, T, 128) -> latent sequence (B, T, 1536)
     (ecapa_tdnn.py:191-207 with return_latent=True)."""
     h = jax.nn.relu(_conv1d(mel, params["layer1_w"], params["layer1_b"], padding=2))
-    h = _bn(params["layer1_bn"], h)
-    o2 = _res2_block(params["layer2"], h, dilation=2)
-    o3 = _res2_block(params["layer3"], o2, dilation=3)
-    o4 = _res2_block(params["layer4"], o3, dilation=4)
+    h = bn_fn(params["layer1_bn"], h)
+    o2 = _res2_block(params["layer2"], h, dilation=2, bn_fn=bn_fn)
+    o3 = _res2_block(params["layer3"], o2, dilation=3, bn_fn=bn_fn)
+    o4 = _res2_block(params["layer4"], o3, dilation=4, bn_fn=bn_fn)
     cat = jnp.concatenate([o2, o3, o4], axis=-1)
     return jax.nn.relu(_conv1d(cat, params["conv_w"], params["conv_b"]))
 

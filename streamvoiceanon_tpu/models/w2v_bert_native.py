@@ -203,6 +203,67 @@ def stacked_features(wav16k: jax.Array, x_lens: Optional[jax.Array] = None):
     return feats, mask
 
 
+def init_params(key, cfg: W2VBertConfig, dtype=jnp.float32) -> Dict:
+    """Random init with the same pytree layout as `convert` (He-normal
+    linears, identity layer norms) — used when training the conformer from
+    scratch (e.g. the ASR_eval recognizer); real HF weights remain pluggable
+    via `convert` outside the sandbox."""
+    H = cfg.hidden
+
+    def lin(k, din, dout, bias=True):
+        p = {"w": jax.random.normal(k, (din, dout), dtype) * np.sqrt(2.0 / din)}
+        if bias:
+            p["b"] = jnp.zeros((dout,), dtype)
+        return p
+
+    def ln():
+        return {"w": jnp.ones((H,), dtype), "b": jnp.zeros((H,), dtype)}
+
+    def layer(k):
+        ks = jax.random.split(k, 12)
+        return {
+            "ffn1_ln": ln(),
+            "ffn1": {"in": lin(ks[0], H, cfg.intermediate),
+                     "out": lin(ks[1], cfg.intermediate, H)},
+            "attn_ln": ln(),
+            "attn": {
+                "q": lin(ks[2], H, H),
+                "k": lin(ks[3], H, H),
+                "v": lin(ks[4], H, H),
+                "o": lin(ks[5], H, H),
+                "dist": jax.random.normal(
+                    ks[6], (cfg.left_max_pos + cfg.right_max_pos + 1,
+                            cfg.head_dim), dtype) * 0.02,
+            },
+            "conv": {
+                "ln": ln(),
+                "pw1": jax.random.normal(ks[7], (H, 2 * H), dtype)
+                * np.sqrt(2.0 / H),
+                "dw": jax.random.normal(ks[8], (cfg.conv_kernel, 1, H), dtype)
+                * np.sqrt(2.0 / cfg.conv_kernel),
+                "dw_ln": ln(),
+                "pw2": jax.random.normal(ks[9], (H, H), dtype)
+                * np.sqrt(2.0 / H),
+            },
+            "ffn2_ln": ln(),
+            "ffn2": {"in": lin(ks[10], H, cfg.intermediate),
+                     "out": lin(ks[11], cfg.intermediate, H)},
+            "final_ln": ln(),
+        }
+
+    k0, k1, klayers = jax.random.split(key, 3)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[layer(k) for k in jax.random.split(klayers, cfg.n_layers)],
+    )
+    return {
+        "fp_ln": {"w": jnp.ones((cfg.feat_dim,), dtype),
+                  "b": jnp.zeros((cfg.feat_dim,), dtype)},
+        "proj": lin(k1, cfg.feat_dim, H),
+        "layers": stacked,
+    }
+
+
 # ---------------------------------------------------------------------------
 # HF state_dict converter
 # ---------------------------------------------------------------------------

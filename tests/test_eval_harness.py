@@ -309,3 +309,38 @@ def test_anonymize_asv_e2e():
     for metrics in out.values():
         assert np.isfinite(metrics["eer"]) and 0.0 <= metrics["eer"] <= 0.5
         assert np.isfinite(metrics["linkability"])
+
+
+def test_ecapa_asv_train_learns_speakers():
+    """ECAPA ASV_eval^anon (VPC protocol: AAM-softmax from random init,
+    train_speaker_embeddings.py equivalence): loss decreases and trained
+    embeddings separate speakers."""
+    from streamvoiceanon_tpu.evals.anonymize import Utterance
+    from streamvoiceanon_tpu.evals import ecapa_asv as ea
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    utts = []
+    freqs = {"spk0": 220.0, "spk1": 1500.0, "spk2": 3500.0}
+    for spk, f0 in freqs.items():
+        for j in range(3):
+            wav = np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(len(t))
+            utts.append(Utterance(f"{spk}_{j}", spk, wav.astype(np.float32)))
+
+    cfg = ea.ECAPAASVConfig(
+        channels=16, latent_dim=32, attn_dim=16, se_dim=8, emb_dim=24,
+        chunk_seconds=0.5, batch_size=6, steps=60, lr=3e-4, scale=15.0,
+        margin=0.1,
+    )
+    history = []
+    model = ea.train_ecapa_asv(utts, cfg, utt_sample_rate=sr, history=history)
+    assert np.mean(history[-10:]) < np.mean(history[:10])
+
+    embs = ea.extract_embeddings(model, cfg, utts, sample_rate=sr)
+    labels = np.asarray([u.speaker for u in utts])
+    e = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
+    sim = e @ e.T
+    same = labels[:, None] == labels[None, :]
+    off_diag = ~np.eye(len(utts), dtype=bool)
+    assert sim[same & off_diag].mean() > sim[~same].mean() + 0.05

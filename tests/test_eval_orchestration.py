@@ -296,3 +296,95 @@ def test_transcriber_no_truncation_on_long_audio():
     wav = np.random.default_rng(0).standard_normal(12 * 16000).astype(np.float32)
     out = tr(wav, 16000)
     assert isinstance(out, str)
+
+
+def test_asr_eval_w2v_overfit_and_transcribe(tmp_path):
+    """Conformer (w2v-BERT backbone) ASR_eval memorizes the tiny train set ->
+    WER 0 through the full evaluate_asr driver.  Matches the reference's
+    speechbrain EncoderASR attacker family (speechbrain_asr/inference.py:16-68)
+    with the backbone shared with the distillation teacher."""
+    from streamvoiceanon_tpu.audio.io import write_wav
+    from streamvoiceanon_tpu.evals import asr_eval_w2v as aw
+    from streamvoiceanon_tpu.evals.anonymize import Utterance
+    from streamvoiceanon_tpu.evals.wer import evaluate_asr
+    from streamvoiceanon_tpu.models.w2v_bert_native import W2VBertConfig
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr // 2) / sr
+    wavs = {
+        "u1": (np.sin(2 * np.pi * 300 * t) + 0.02 * rng.standard_normal(len(t))).astype(np.float32),
+        "u2": (np.sin(2 * np.pi * 2000 * t) + 0.02 * rng.standard_normal(len(t))).astype(np.float32),
+    }
+    texts = {"u1": "ab", "u2": "ba"}
+    utts = [Utterance(u, u, w) for u, w in wavs.items()]
+
+    cfg = aw.W2VASRConfig(
+        encoder=W2VBertConfig(hidden=64, n_layers=1, n_heads=2,
+                              intermediate=128, conv_kernel=7),
+        steps=250, batch_size=2, max_frames=32, max_label_len=8,
+    )
+    hist = []
+    params, vocab = aw.train_asr_eval_w2v(utts, texts, cfg, utt_sample_rate=sr,
+                                          history=hist)
+    assert hist[-1] < hist[0]
+    transcriber = aw.make_transcriber_w2v(params, vocab, cfg)
+    assert transcriber(wavs["u1"], sr) == "ab"
+    assert transcriber(wavs["u2"], sr) == "ba"
+
+    for name in ("tiny_dev", "tiny_dev_anon"):
+        d = tmp_path / "data" / name
+        scp = {}
+        for u, w in wavs.items():
+            p = tmp_path / f"{name}_{u}.wav"
+            write_wav(str(p), w, sr)
+            scp[u] = str(p)
+        save_kaldi_format(scp, d / "wav.scp")
+        save_kaldi_format(texts, d / "text")
+    df = evaluate_asr(["tiny_dev"], tmp_path / "data", transcriber,
+                      results_dir=tmp_path / "res", anon_data_suffix="_anon")
+    assert (df["WER"] == 0.0).all()
+
+
+def test_asv_eval_anon_both_backbones(tmp_path):
+    """eval_post ASV_eval^anon via run_evaluation with BOTH attacker
+    families: fine-tuned CAMPPlus head and from-scratch ECAPA (the VPC
+    protocol, asv_train/train_speaker_embeddings.py hparams ecapa)."""
+    from tests.test_eval_harness import _tiny_campplus
+
+    from streamvoiceanon_tpu.evals.ecapa_asv import ECAPAASVConfig
+    from streamvoiceanon_tpu.evals.harness import ASVStep, EvalConfig, run_evaluation
+
+    from streamvoiceanon_tpu.evals.asv_train import ASVTrainConfig
+
+    sr = _write_speaker_dirs(tmp_path)
+    params_np, cp_cfg = _tiny_campplus()
+    tiny_campplus_train = ASVTrainConfig(
+        chunk_seconds=0.5, batch_size=4, steps=30, lr=3e-4, scale=15.0,
+        margin=0.1, emb_dim=cp_cfg.embedding_size,
+    )
+    tiny_ecapa = ECAPAASVConfig(
+        channels=16, latent_dim=32, attn_dim=16, se_dim=8, emb_dim=24,
+        chunk_seconds=0.5, batch_size=4, steps=30, lr=3e-4, scale=15.0,
+        margin=0.1,
+    )
+    for backbone in ("campplus", "ecapa"):
+        cfg = EvalConfig(
+            data_dir=tmp_path / "data",
+            results_dir=tmp_path / f"results_{backbone}",
+            asv=ASVStep(
+                enrolls=["libri_dev_enrolls"], trials=["libri_dev_trials"],
+                train_asv_on_anon=True, train_dirs=["libri_dev_enrolls_anon"],
+                anon_backbone=backbone,
+                ecapa_cfg=tiny_ecapa if backbone == "ecapa" else None,
+                campplus_cfg=tiny_campplus_train,
+            ),
+            sample_rate=sr,
+        )
+        asv = run_evaluation(cfg, campplus_params=params_np, cp_cfg=cp_cfg)["asv"]
+        anon = asv[asv["model"] == "ASV_eval_anon"]
+        assert len(anon) == 1 and (anon["backbone"] == backbone).all()
+        assert (anon["EER"] >= 0).all() and (anon["EER"] <= 100).all()
+        summary = (tmp_path / f"results_{backbone}" /
+                   "results_summary.txt").read_text()
+        assert "ASV_eval^anon results" in summary
