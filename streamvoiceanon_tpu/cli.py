@@ -253,6 +253,83 @@ def cmd_evaluate(args):
     print(f"summary: {Path(args.results_dir) / 'results_summary.txt'}")
 
 
+def cmd_live(args):
+    """Operator live app (real-time-gui.py headless equivalent): duplex
+    stream + status monitor, preset/reference hot-switching on a schedule."""
+    import numpy as np
+
+    from streamvoiceanon_tpu.audio.io import read_wav
+    from streamvoiceanon_tpu.runtime import live as live_mod
+
+    if args.list_devices:
+        devs = live_mod.list_audio_devices(args.hostapi)
+        if not devs:
+            print("sounddevice not installed — no hardware devices "
+                  "(synthetic duplex only)")
+        else:
+            print(f"hostapis: {devs['hostapis']}")
+            print(f"inputs ({devs['hostapi']}): {devs['inputs']}")
+            print(f"outputs ({devs['hostapi']}): {devs['outputs']}")
+        return
+
+    if not args.ref:
+        raise SystemExit("live: --ref is required (unless --list-devices)")
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    app = live_mod.LiveApp(cv, args.preset, seed=args.seed)
+
+    refs = [read_wav(p, target_sr=cv.cfg.sample_rate)[0] for p in args.ref]
+    print(f"prefilling reference {args.ref[0]} ...", file=sys.stderr)
+    app.set_reference(refs, args.ref[0])
+    app.warm_up(progress=lambda i, n: print(
+        f"\rcompiling chunk phase {i}/{n}", end="", file=sys.stderr, flush=True))
+    print(file=sys.stderr)
+
+    if args.src == "noise":
+        rng = np.random.default_rng(args.seed)
+        src = (rng.standard_normal(cv.cfg.sample_rate * 8) * 0.05).astype(np.float32)
+    else:
+        src, _ = read_wav(args.src, target_sr=cv.cfg.sample_rate)
+
+    if args.use_device and live_mod.have_sounddevice():
+        duplex = live_mod.SoundDeviceDuplex(
+            app.engine, block_frames=args.block,
+            input_device=args.device_in, output_device=args.device_out)
+    else:
+        duplex = live_mod.SyntheticDuplex(
+            app.engine, src, block_frames=args.block, sink=False)
+
+    switches = []  # (t_seconds, kind, value)
+    for spec in args.switch_preset or []:
+        name, t = spec.rsplit("@", 1)
+        switches.append((float(t), "preset", name))
+    switches.sort()
+
+    app.start()
+    duplex.start()
+    t0 = __import__("time").perf_counter()
+    try:
+        remaining = list(switches)
+        elapsed = 0.0
+        while elapsed < args.duration:
+            step = min(0.5, args.duration - elapsed)
+            live_mod.monitor(app, step, interval_s=step, out=sys.stderr)
+            elapsed = __import__("time").perf_counter() - t0
+            while remaining and elapsed >= remaining[0][0]:
+                _, kind, val = remaining.pop(0)
+                if kind == "preset":
+                    print(f"\n[switch] preset -> {val}", file=sys.stderr)
+                    duplex.stop()
+                    app.set_preset(val)
+                    duplex = live_mod.SyntheticDuplex(
+                        app.engine, src, block_frames=args.block, sink=False)
+                    duplex.start()
+    finally:
+        duplex.stop()
+        app.stop()
+    st = app.status()
+    print(st.line())
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="streamvoiceanon_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -329,6 +406,28 @@ def main(argv=None):
     e.add_argument("--ckpt-dir")
     e.add_argument("--seed", type=int, default=0)
     e.set_defaults(fn=cmd_evaluate)
+
+    lv = sub.add_parser("live", help="real-time operator app (headless GUI)")
+    lv.add_argument("--ref", nargs="+", default=[],
+                    help="reference wav(s) for the target voice")
+    lv.add_argument("--src", default="noise",
+                    help="synthetic capture source: wav path or 'noise'")
+    lv.add_argument("--preset", default="balanced",
+                    choices=["max_privacy", "balanced", "max_quality", "low_latency"])
+    lv.add_argument("--duration", type=float, default=10.0)
+    lv.add_argument("--block", type=int, default=1536,
+                    help="capture block size in samples")
+    lv.add_argument("--switch-preset", nargs="*", metavar="NAME@SECONDS",
+                    help="hot-switch preset at a time, e.g. low_latency@5")
+    lv.add_argument("--use-device", action="store_true",
+                    help="use sounddevice hardware duplex when installed")
+    lv.add_argument("--device-in")
+    lv.add_argument("--device-out")
+    lv.add_argument("--hostapi")
+    lv.add_argument("--list-devices", action="store_true")
+    lv.add_argument("--ckpt-dir")
+    lv.add_argument("--seed", type=int, default=0)
+    lv.set_defaults(fn=cmd_live)
 
     args = p.parse_args(argv)
     args.fn(args)
