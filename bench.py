@@ -273,6 +273,58 @@ def main():
         log(f"fetch group M={M}: period={period*1e3:.2f}ms "
             f"RTF={period/FRAME_SECONDS:.3f} p50 delivery latency={lat*1e3:.1f}ms")
 
+    # ---- phase 6: device-bound floor (relay-free evidence) -----------------
+    # K chunks chained inside ONE jitted lax.scan: a single dispatch + fetch
+    # amortized over K chunks strips the relay's per-program and per-fetch
+    # costs, recording the on-device per-chunk time — the RTF a local-PJRT
+    # deployment of this exact pipeline would sustain.
+    if budget_left() > 150:
+        try:
+            K = 32
+
+            def scan_chunks(tok_p, arvc_p, voc_p, fstate, chunks, key):
+                def body(carry, chunk):
+                    fs, kk = carry
+                    tstate, ring, toks = _encode_inc(
+                        tok_p, cfg, fs.tok, fs.tok_ring, chunk, sess._mel_consts)
+                    kk, sub = jax.random.split(kk)
+                    lm, cring, voc, wav = _decode_vocode_inc(
+                        arvc_p, voc_p, cfg, fs.lm, fs.code_ring, fs.voc, toks,
+                        sess.sampling, sub)
+                    fs = fs._replace(tok=tstate, tok_ring=ring, lm=lm,
+                                     code_ring=cring, voc=voc)
+                    return (fs, kk), wav
+
+                (_, _), wavs = jax.lax.scan(body, (fstate, key), chunks)
+                return wavs
+
+            scan_jit = jax.jit(scan_chunks)
+            chunks_dev = jax.device_put(
+                jnp.asarray(rng.standard_normal((K, 1, spf)) * 0.1,
+                            jnp.float32), tpu_dev)
+            args = (cv_tpu.tokenizer_params, cv_tpu.arvc_params,
+                    cv_tpu.vocoder_params, sess.fstate, chunks_dev,
+                    jax.random.PRNGKey(9))
+            t0 = time.time()
+            np.asarray(scan_jit(*args))
+            log(f"device-floor scan x{K}: compile+first run {time.time()-t0:.1f}s")
+            floor = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                np.asarray(scan_jit(*args))
+                floor = min(floor, (time.perf_counter() - t0) / K)
+            with _best_lock:
+                if _best is not None:
+                    _best["unit"] += (
+                        f"; device floor {floor*1e3:.2f} ms/chunk = RTF "
+                        f"{floor/FRAME_SECONDS:.3f} (lax.scan x{K}, one "
+                        f"dispatch+fetch)")
+            log(f"device floor: {floor*1e3:.2f} ms/chunk "
+                f"RTF={floor/FRAME_SECONDS:.3f}")
+        except Exception as e:  # noqa: BLE001
+            log(f"device-floor phase failed ({type(e).__name__}: {e}) — "
+                f"keeping M-mode result")
+
     _emit(0)
 
 
