@@ -94,15 +94,26 @@ def lfq_quantize(params: Dict, x: jax.Array, codebook_bits: int) -> Tuple[jax.Ar
     return _linear(params["project_out"], q), indices
 
 
-def lfq_soft_entropy_loss(h: jax.Array, tau: float = 1.0, gamma: float = 1.0) -> jax.Array:
+def lfq_soft_entropy_loss(
+    h: jax.Array, tau: float = 1.0, gamma: float = 1.0,
+    axis_name: str | None = None,
+) -> jax.Array:
     """BSQ soft entropy aux loss (bsq.py:94-124).  h: (N, L) pre-sign latents
-    (already l2-normalized in the reference call path)."""
+    (already l2-normalized in the reference call path).
+
+    Under data parallelism pass `axis_name` (inside shard_map/pmap): the
+    codebook-usage distribution is pmean'd across devices before the
+    diversity entropy term, matching the reference's all_reduce of avg_prob
+    (bsq.py:37-43,427-431).  The per-sample term stays local — its global
+    mean emerges from the data-parallel gradient average, as in DDP."""
     L = h.shape[-1]
     corners = jnp.asarray([-1.0, 1.0]) / jnp.sqrt(jnp.float32(L))
     prob = jax.nn.sigmoid(2.0 * tau * corners[None, None, :] * h[..., None])
     ent_per_dim = -jnp.sum(prob * jnp.log(jnp.clip(prob, min=1e-20)), axis=-1)
     term1 = jnp.mean(ent_per_dim)
     expected = jnp.mean(prob.reshape(-1, L, 2), axis=0)
+    if axis_name is not None:
+        expected = jax.lax.pmean(expected, axis_name)
     term2 = jnp.mean(-jnp.sum(expected * jnp.log(jnp.clip(expected, min=1e-20)), axis=-1))
     return term1 - gamma * term2
 

@@ -24,6 +24,7 @@ def _greedy_sample(logits, previous_tokens=None, suppress_tokens=None, **kw):
 
 @pytest.mark.slow
 @pytest.mark.parity
+@pytest.mark.slow
 def test_fullsize_streaming_decode_parity(rng, monkeypatch):
     monkeypatch.setattr(das, "sample", _greedy_sample)
     cfg = ARVCConfig()

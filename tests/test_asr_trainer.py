@@ -1,5 +1,6 @@
 """ASR (content-encoder) trainer smoke test on tiny models."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -11,6 +12,7 @@ from streamvoiceanon_tpu.models import asr_decoder, tokenizer
 from streamvoiceanon_tpu.train.asr_trainer import ASRTrainer, ASRTrainerConfig
 
 
+@pytest.mark.slow
 def test_asr_trainer_step():
     cfg = tinymodels.tiny_config()
     tok_cfg = replace(

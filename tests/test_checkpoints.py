@@ -1,5 +1,6 @@
 """Converter-level Orbax checkpoint round trip."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -8,6 +9,7 @@ import tinymodels
 from streamvoiceanon_tpu.runtime import checkpoints
 
 
+@pytest.mark.slow
 def test_converter_checkpoint_roundtrip(tmp_path):
     cv = tinymodels.tiny_converter()
     path = checkpoints.save(cv, str(tmp_path / "cv"))

@@ -1,5 +1,6 @@
 """Per-stage timing + profiler tracing (SURVEY.md §5 tracing subsystem)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +23,7 @@ def test_stage_timers_accumulate_and_report():
     assert aps > 0
 
 
+@pytest.mark.slow
 def test_trace_noop_and_real(tmp_path):
     with trace(None):
         pass

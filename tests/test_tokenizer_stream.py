@@ -37,6 +37,7 @@ def test_encode_stream_matches_offline(cv, rng, chunk_frames):
     assert mismatch == 0.0, f"token mismatch rate {mismatch}"
 
 
+@pytest.mark.slow
 def test_encode_stream_beyond_window(cv, rng):
     """Stream longer than the attention window: the ring must keep producing
     tokens equal to offline (window-limited) encoding."""

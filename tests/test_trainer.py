@@ -1,6 +1,7 @@
 """Trainer smoke tests: two sharded steps on synthetic data + checkpoint
 save/restore round trip."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -10,6 +11,7 @@ from streamvoiceanon_tpu.train import data as data_mod
 from streamvoiceanon_tpu.train.arvc_trainer import ARVCTrainer, TrainerConfig
 
 
+@pytest.mark.slow
 def test_arvc_trainer_steps(tmp_path):
     cv = tinymodels.tiny_converter()
     tcfg = TrainerConfig(
