@@ -1,0 +1,178 @@
+"""Per-stage device-time floor: split bench.py's device-floor number
+(K chunks chained in one lax.scan dispatch) into its three pipeline stages —
+incremental content encode, LM frame decode (2-token slow step + 8-step
+codebook loop + sampling), incremental vocoder — so optimization effort
+lands on the fattest stage.
+
+Same one-time-prep-on-CPU + transfer design as bench.py: the TPU only
+compiles the three scan programs.
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+FRAME_SECONDS = 2048 / 44100
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=128, help="chunks per scan dispatch")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--dsp-dtype", default="float32",
+                    help="tokenizer/vocoder param+compute dtype "
+                         "(bfloat16 halves the DSP weight traffic)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_converter
+    from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig
+    from streamvoiceanon_tpu.models import arvc, vocoder
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+    from streamvoiceanon_tpu.runtime.streaming import (
+        StreamSession,
+        _decode_vocode_inc,
+        _encode_inc,
+    )
+    from streamvoiceanon_tpu.utils import randparams as rp
+
+    tpu = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    print(f"devices: tpu={tpu}", file=sys.stderr)
+
+    cfg = PipelineConfig()
+    spf = cfg.samples_per_frame
+    rng = np.random.default_rng(0)
+    dsp_dtype = np.dtype(args.dsp_dtype) if args.dsp_dtype == "float32" else jnp.bfloat16
+    tok_np = rp.tokenizer_params_np(cfg.tokenizer, 1, dtype=dsp_dtype)
+    voc_np = rp.vocoder_params_np(cfg.vocoder, 2, dtype=dsp_dtype)
+    arvc_np = rp.arvc_params_np(cfg.arvc, 3, jnp.bfloat16)
+
+    ref_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+    src_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+    with jax.default_device(cpu):
+        cv_cpu = VoiceConverter(
+            cfg=cfg,
+            tokenizer_params=jax.device_put(tok_np, cpu),
+            vocoder_params=jax.device_put(voc_np, cpu),
+            arvc_params=jax.device_put(arvc_np, cpu),
+        )
+        ref = jax.device_put(jnp.asarray(ref_wav)[None], cpu)
+        sess = StreamSession(
+            cv_cpu, cfg.stream, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(),
+            style=jax.device_put(jnp.asarray(
+                rng.standard_normal((1, 192)), jnp.bfloat16), cpu),
+            timbre=jax.device_put(jnp.asarray(
+                rng.standard_normal((1, 32, 128)), jnp.bfloat16), cpu),
+            ref_tokens=cv_cpu.content_tokens(ref),
+            ref_codes=cv_cpu.audio_codes(ref),
+        )
+        for i in range(cfg.stream.delay + 3):
+            sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
+    print("CPU prep done", file=sys.stderr)
+
+    cv = VoiceConverter(
+        cfg=cfg,
+        tokenizer_params=jax.device_put(tok_np, tpu),
+        vocoder_params=jax.device_put(voc_np, tpu),
+        arvc_params=jax.device_put(arvc_np, tpu),
+    )
+    sess = sess.transfer(cv, tpu)
+    jax.block_until_ready(sess.fstate)
+
+    K = args.k
+    fs = sess.fstate
+    chunks = jax.device_put(
+        jnp.asarray(rng.standard_normal((K, 1, spf)) * 0.1, jnp.float32), tpu)
+    toks = jax.device_put(jnp.zeros((K, 1, 1), jnp.int32), tpu)
+    codes = jax.device_put(
+        jnp.zeros((K, 1, cfg.arvc.decoder.num_codebooks, 1), jnp.int32), tpu)
+
+    def scan_encode(tok_p, tstate, ring, xs):
+        def body(carry, chunk):
+            ts, rg = carry
+            ts, rg, t = _encode_inc(tok_p, cfg, ts, rg, chunk, sess._mel_consts)
+            return (ts, rg), t
+        return jax.lax.scan(body, (tstate, ring), xs)
+
+    def scan_lm(arvc_p, lm, key, xs):
+        def body(carry, tok):
+            st, kk = carry
+            kk, sub = jax.random.split(kk)
+            st, c = arvc.decode_one(arvc_p, cfg.arvc, st, tok, sub,
+                                    sess.sampling)
+            return (st, kk), c
+        return jax.lax.scan(body, (lm, key), xs)
+
+    def scan_voc(voc_p, vstate, xs):
+        def body(carry, c):
+            vs, wav = vocoder.decode_stream(voc_p, cfg.vocoder, carry, c)
+            return vs, wav
+        return jax.lax.scan(body, vstate, xs)
+
+    def scan_full(ps, fstate, key, xs):
+        tok_p, arvc_p, voc_p = ps
+        def body(carry, chunk):
+            f, kk = carry
+            ts, rg, t = _encode_inc(tok_p, cfg, f.tok, f.tok_ring, chunk,
+                                    sess._mel_consts)
+            kk, sub = jax.random.split(kk)
+            lm, cr, vs, wav = _decode_vocode_inc(
+                arvc_p, voc_p, cfg, f.lm, f.code_ring, f.voc, t,
+                sess.sampling, sub)
+            f = f._replace(tok=ts, tok_ring=rg, lm=lm, code_ring=cr, voc=vs)
+            return (f, kk), wav
+        return jax.lax.scan(body, (fstate, key), xs)
+
+    # each job returns ONE scalar: a single ~25 ms relay fetch per dispatch,
+    # so the measured time is device time, not fetch count
+    def scalarize(fn, reduce):
+        def run(*a):
+            out = fn(*a)
+            return reduce(out)
+        return jax.jit(run)
+
+    jobs = {
+        "null": (jax.jit(lambda xs: jnp.sum(xs) * 1.0), (chunks,)),
+        "encode": (scalarize(scan_encode,
+                             lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                   (cv.tokenizer_params, fs.tok, fs.tok_ring, chunks)),
+        "lm_decode": (scalarize(scan_lm,
+                                lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                      (cv.arvc_params, fs.lm, jax.random.PRNGKey(5), toks)),
+        "vocoder": (scalarize(scan_voc,
+                              lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                    (cv.vocoder_params, fs.voc, codes)),
+        "full_chunk": (scalarize(scan_full,
+                                 lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                       ((cv.tokenizer_params, cv.arvc_params, cv.vocoder_params),
+                        fs, jax.random.PRNGKey(6), chunks)),
+    }
+    total = 0.0
+    for name, (fn, a) in jobs.items():
+        t0 = time.time()
+        np.asarray(fn(*a))
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            np.asarray(fn(*a))
+            best = min(best, (time.perf_counter() - t0) / K)
+        if name not in ("full_chunk", "null"):
+            total += best
+        print(f"{name:11s} {best*1e3:6.3f} ms/chunk  RTF {best/FRAME_SECONDS:5.3f}"
+              f"  (compile+1st {compile_s:.1f}s)")
+    print(f"{'sum':11s} {total*1e3:6.3f} ms/chunk (stages measured separately)")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,7 @@ def conv1d(
 ) -> jax.Array:
     """Plain 1-D conv, channels-last.  x: (B, T, C_in), w: (k, C_in//g, C_out)."""
     y = jax.lax.conv_general_dilated(
-        x,
+        x.astype(w.dtype),  # compute in the params' dtype (bf16 inference)
         w,
         window_strides=(stride,),
         padding=padding,
@@ -139,7 +139,7 @@ def conv_transpose1d(
     """
     k = w.shape[0]
     y = jax.lax.conv_general_dilated(
-        x,
+        x.astype(w.dtype),  # compute in the params' dtype (bf16 inference)
         jnp.flip(w, axis=0),
         window_strides=(1,),
         padding=((k - 1 - padding, k - 1 - padding + output_padding),),
