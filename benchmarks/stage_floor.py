@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--dsp-dtype", default="float32",
                     help="tokenizer/vocoder param+compute dtype "
                          "(bfloat16 halves the DSP weight traffic)")
+    ap.add_argument("--pallas-fast", action="store_true",
+                    help="route the codebook loop through the VMEM-resident "
+                         "Pallas fast decoder")
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -49,6 +52,12 @@ def main():
     print(f"devices: tpu={tpu}", file=sys.stderr)
 
     cfg = PipelineConfig()
+    if args.pallas_fast:
+        from dataclasses import replace
+
+        cfg = replace(cfg, arvc=replace(
+            cfg.arvc, decoder=replace(
+                cfg.arvc.decoder, use_pallas_fast_decode=True)))
     spf = cfg.samples_per_frame
     rng = np.random.default_rng(0)
     dsp_dtype = np.dtype(args.dsp_dtype) if args.dsp_dtype == "float32" else jnp.bfloat16

@@ -80,6 +80,11 @@ class WindowedTransformerConfig:
     layer_scale_init: float = 1e-2
     window_size: Optional[int] = 512
     causal: bool = True
+    # depthwise-conv (LConv1d) branch between attention and FFN
+    # (windowed_transformer.py:34-35,141,197-234; default off, matching the
+    # deployed tokenizer config)
+    dw_conv: bool = False
+    conv_kernel_size: int = 5
 
 
 @dataclass(frozen=True)
@@ -127,6 +132,15 @@ class DualARConfig:
     # floor and the kernel's full-block cache writeback doubles traffic
     # (BENCH.md "decode attention" section).
     use_pallas_decode: bool = False
+
+    # Route the fast codebook loop through the VMEM-resident Pallas decoder
+    # (ops/pallas_fast_decode.py): all 4 fast layers stay in VMEM across the
+    # 8 AR steps, cutting the ~8x weight re-read that dominates the LM decode
+    # stage (measured 1.5 -> 0.64 ms/frame on v5e).  Sampling inside the
+    # kernel is the exact full-vocab nucleus filter (top_k_window=0
+    # semantics).  Applies to single-stream decode (batch 1); larger batches
+    # fall back to the XLA scan, whose matmuls already amortize over rows.
+    use_pallas_fast_decode: bool = False
 
     def __post_init__(self):
         if self.n_local_heads == -1:

@@ -31,13 +31,21 @@ import numpy as np
 from streamvoiceanon_tpu.config import DualARConfig, SamplingConfig
 from streamvoiceanon_tpu.ops.norm import rms_norm
 from streamvoiceanon_tpu.ops.pallas_attention import decode_attention_prepadded
+from streamvoiceanon_tpu.ops.pallas_fast_decode import fast_decode as pallas_fast_decode
 from streamvoiceanon_tpu.ops.rope import apply_rope, precompute_freqs_cis
 from streamvoiceanon_tpu.ops.sampling import sample_token
 
 
 def _pallas_interpret() -> bool:
-    """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests)."""
-    return jax.default_backend() != "tpu"
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests).
+
+    Honors an enclosing `jax.default_device(...)` context: the CPU one-time
+    prep phase of bench.py / benchmarks/stage_floor.py traces the decode
+    programs on the CPU backend while the process-level default backend is
+    the TPU, and a compiled-mode pallas_call cannot lower for CPU."""
+    dd = jax.config.jax_default_device
+    platform = dd.platform if dd is not None else jax.default_backend()
+    return platform != "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -339,8 +347,31 @@ def _fast_decode(
 ) -> jax.Array:
     """8-step autoregressive codebook sampling with a fresh fast KV cache
     (decode_one_token_ar zeroes it every frame, dual_ar_stream.py:1197-1205).
-    Returns codes (B, num_codebooks) int32."""
+    Returns codes (B, num_codebooks) int32.
+
+    With cfg.use_pallas_fast_decode and batch 1, the whole loop runs in one
+    VMEM-resident Pallas kernel (ops/pallas_fast_decode.py) — weights stream
+    from HBM once per frame instead of once per codebook step."""
     B = hidden.shape[0]
+    if cfg.use_pallas_fast_decode and B == 1 and cfg.fast_n_local_heads == cfg.fast_n_head:
+        return pallas_fast_decode(
+            params["fast_layers"],
+            params["fast_norm"]["w"],
+            params["fast_output"]["w"],
+            params["fast_embeddings"],
+            hidden[:, 0, :],
+            key,
+            nq=cfg.num_codebooks,
+            n_head=cfg.fast_n_head,
+            head_dim=cfg.fast_head_dim,
+            vocab=cfg.codebook_size,
+            rope_base=cfg.rope_base,
+            norm_eps=cfg.norm_eps,
+            temperature=sampling.temperature,
+            top_p=sampling.top_p,
+            greedy=sampling.greedy,
+            interpret=_pallas_interpret(),
+        )
     nq = cfg.num_codebooks
     shape = (cfg.n_fast_layer, B, cfg.fast_n_local_heads, nq, cfg.fast_head_dim)
     fast_freqs_all = jnp.asarray(

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from streamvoiceanon_tpu.config import WindowedTransformerConfig
+from streamvoiceanon_tpu.ops.conv import conv1d
 from streamvoiceanon_tpu.ops.norm import rms_norm
 from streamvoiceanon_tpu.ops.rope import apply_rope, precompute_freqs_cis
 from streamvoiceanon_tpu.ops.quantizers import linear_init
@@ -38,10 +39,10 @@ def window_limited_mask(length: int, window_size: Optional[int]) -> np.ndarray:
 
 
 def block_init(key, cfg: WindowedTransformerConfig, dtype=jnp.float32) -> Dict:
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 9)
     d, h = cfg.dim, cfg.intermediate_size
     kv = cfg.n_head * cfg.head_dim
-    return {
+    p = {
         "wqkv": {"w": jax.random.normal(ks[0], (d, 3 * kv), dtype) * 0.02},
         "wo": {"w": jax.random.normal(ks[1], (cfg.n_head * cfg.head_dim, d), dtype) * 0.02},
         "attention_norm": {"w": jnp.ones((d,), dtype)},
@@ -52,6 +53,17 @@ def block_init(key, cfg: WindowedTransformerConfig, dtype=jnp.float32) -> Dict:
         "attn_scale": jnp.full((d,), cfg.layer_scale_init, dtype),
         "ffn_scale": jnp.full((d,), cfg.layer_scale_init, dtype),
     }
+    if cfg.dw_conv:
+        k = cfg.conv_kernel_size
+        p["lconv"] = {
+            "pre_norm": {"w": jnp.ones((d,), dtype)},
+            "conv_norm": {"w": jnp.ones((d,), dtype)},
+            "w_start": {"w": jax.random.normal(ks[5], (d, 2 * d), dtype) * 0.02},
+            "dw": {"w": jax.random.normal(ks[6], (k, 1, d), dtype) * 0.02},
+            "w_end": {"w": jax.random.normal(ks[7], (d, d), dtype) * 0.02},
+            "scale": jnp.full((d,), cfg.layer_scale_init, dtype),
+        }
+    return p
 
 
 def init(key, cfg: WindowedTransformerConfig, dtype=jnp.float32) -> Dict:
@@ -84,12 +96,30 @@ def attention(
     return out @ p["wo"]["w"]
 
 
+def lconv_apply(p: Dict, cfg: WindowedTransformerConfig, x: jax.Array) -> jax.Array:
+    """Depthwise-conv (LConv1d) branch: RMS -> GLU -> causal depthwise conv
+    -> RMS -> silu -> linear, LayerScale residual
+    (windowed_transformer.py:197-234)."""
+    y = rms_norm(x, p["pre_norm"]["w"], cfg.norm_eps)
+    y = y @ p["w_start"]["w"]
+    a, b = jnp.split(y, 2, axis=-1)
+    y = a * jax.nn.sigmoid(b)  # F.glu(dim=-1)
+    k = p["dw"]["w"].shape[0]
+    y = jnp.pad(y, ((0, 0), (k - 1, 0), (0, 0)))  # manual causal left pad
+    y = conv1d(y, p["dw"]["w"], groups=cfg.dim)
+    y = rms_norm(y, p["conv_norm"]["w"], cfg.norm_eps)
+    y = jax.nn.silu(y) @ p["w_end"]["w"]
+    return x + p["scale"] * y
+
+
 def block_apply(
     p: Dict, cfg: WindowedTransformerConfig, x: jax.Array, freqs: jax.Array, mask: jax.Array
 ) -> jax.Array:
     h = x + p["attn_scale"] * attention(
         p, cfg, rms_norm(x, p["attention_norm"]["w"], cfg.norm_eps), freqs, mask
     )
+    if "lconv" in p:
+        h = lconv_apply(p["lconv"], cfg, h)
     ff = rms_norm(h, p["ffn_norm"]["w"], cfg.norm_eps)
     ff = (jax.nn.silu(ff @ p["w1"]["w"]) * (ff @ p["w3"]["w"])) @ p["w2"]["w"]
     return h + p["ffn_scale"] * ff

@@ -229,6 +229,17 @@ def windowed_transformer(sd, cfg: WindowedTransformerConfig, prefix: str) -> Dic
                 "ffn_scale": sd[f"{lp}.ffn_layer_scale.gamma"],
             }
         )
+        if f"{lp}.lconv1d.linear_start.weight" in sd:
+            # depthwise-conv branch (windowed_transformer.py:197-234);
+            # torch depthwise Conv1d weight (d, 1, k) -> channels-last (k, 1, d)
+            layers[-1]["lconv"] = {
+                "pre_norm": norm(sd, f"{lp}.lconv1d.pre_layer_norm"),
+                "conv_norm": norm(sd, f"{lp}.lconv1d.conv_norm"),
+                "w_start": linear(sd, f"{lp}.lconv1d.linear_start"),
+                "dw": {"w": np.transpose(sd[f"{lp}.lconv1d.depthwise_conv1d.weight"], (2, 1, 0))},
+                "w_end": linear(sd, f"{lp}.lconv1d.linear_end"),
+                "scale": sd[f"{lp}.lconv1d.layer_scale.gamma"],
+            }
     return {"layers": layers, "final_norm": norm(sd, f"{prefix}.norm")}
 
 

@@ -123,3 +123,41 @@ def test_tokenizer_prefix_consistency(ref_and_params, rng):
     full = np.asarray(tokenizer.encode(params, cfg, jnp.asarray(wav)))
     half = np.asarray(tokenizer.encode(params, cfg, jnp.asarray(wav[:, : 512 * 32])))
     np.testing.assert_array_equal(full[:, :8], half[:, :8])
+
+
+@pytest.mark.parity
+def test_windowed_transformer_dwconv_parity(rng):
+    """LConv1d depthwise-conv branch (windowed_transformer.py:197-234),
+    enabled via dw_conv=True (off in the deployed tokenizer config)."""
+    torch.manual_seed(1)
+    tcfg = replace(
+        small_cfg().transformer, dw_conv=True, conv_kernel_size=5
+    )
+    margs = wtref.ModelArgs(
+        block_size=tcfg.block_size, n_layer=tcfg.n_layer, n_head=tcfg.n_head,
+        dim=tcfg.dim, intermediate_size=tcfg.intermediate_size,
+        head_dim=tcfg.head_dim, rope_base=tcfg.rope_base,
+        dropout_rate=0.0, attn_dropout_rate=0.0,
+        dw_conv=True, conv_kernel_size=tcfg.conv_kernel_size,
+    )
+    wt = wtref.WindowLimitedTransformer(
+        margs, window_size=tcfg.window_size, causal=True
+    ).eval()
+
+    class Holder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.m = wt
+
+    params = convert.windowed_transformer(
+        convert.to_numpy(Holder().state_dict()), tcfg, "m"
+    )
+    x = rng.standard_normal((2, 48, 24)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = wt(torch.from_numpy(x)).numpy()
+    y = windowed_transformer.apply(
+        params, tcfg, jnp.asarray(np.swapaxes(x, 1, 2))
+    )
+    np.testing.assert_allclose(
+        np.swapaxes(np.asarray(y), 1, 2), y_ref, atol=5e-4, rtol=1e-3
+    )
