@@ -21,7 +21,7 @@ Chunk unit: one 2048-sample frame -> 4 mel hops -> 1 content token.
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -130,6 +130,9 @@ class RingState(NamedTuple):
     k_ring: jax.Array  # (L, B, H, W, D) keys rotated to the fixed query frame
     v_ring: jax.Array  # (L, B, H, W, D)
     count: jax.Array  # scalar int32: tokens seen so far
+    # (L, B, K-1, dim) GLU-output tail for the depthwise-conv (LConv1d)
+    # branch (windowed_transformer.py:197-234); None when cfg.dw_conv is off
+    conv_tail: Optional[jax.Array] = None
 
 
 @functools.lru_cache(maxsize=8)
@@ -151,7 +154,14 @@ def _rotate_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 def ring_init(cfg: WindowedTransformerConfig, batch: int = 1, dtype=jnp.float32) -> RingState:
     W = cfg.window_size
     shape = (cfg.n_layer, batch, cfg.n_head, W, cfg.head_dim)
-    return RingState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.int32(0))
+    conv_tail = (
+        jnp.zeros((cfg.n_layer, batch, cfg.conv_kernel_size - 1, cfg.dim), dtype)
+        if cfg.dw_conv
+        else None
+    )
+    return RingState(
+        jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.int32(0), conv_tail
+    )
 
 
 def transformer_stream_step(
@@ -171,7 +181,7 @@ def transformer_stream_step(
 
     def layer(carry, inp):
         h = carry
-        lp, k_ring, v_ring = inp
+        lp, k_ring, v_ring, conv_tail = inp
         B = h.shape[0]
         hn = rms_norm(h, lp["attention_norm"]["w"], cfg.norm_eps)
         qkv = hn @ lp["wqkv"]["w"]
@@ -200,19 +210,37 @@ def transformer_stream_step(
         out = jnp.einsum("bhqk,bhkd->bqhd", w, v_ring.astype(h.dtype))
         out = out.reshape(B, 1, cfg.n_head * cfg.head_dim)
         h = h + lp["attn_scale"] * (out @ lp["wo"]["w"])
+        if cfg.dw_conv:
+            # streaming LConv1d branch: the causal depthwise conv needs only
+            # the GLU outputs of the previous K-1 tokens (zero-initialized
+            # tail == offline left zero-pad, windowed_transformer.lconv_apply)
+            lcp = lp["lconv"]
+            y = rms_norm(h, lcp["pre_norm"]["w"], cfg.norm_eps)
+            y = y @ lcp["w_start"]["w"]
+            a, b2 = jnp.split(y, 2, axis=-1)
+            g = a * jax.nn.sigmoid(b2)  # (B, 1, dim)
+            full = jnp.concatenate([conv_tail.astype(h.dtype), g], axis=1)
+            yc = jnp.einsum(
+                "bkc,kc->bc", full, lcp["dw"]["w"][:, 0, :],
+                preferred_element_type=jnp.float32,
+            ).astype(h.dtype)[:, None, :]
+            yc = rms_norm(yc, lcp["conv_norm"]["w"], cfg.norm_eps)
+            yc = jax.nn.silu(yc) @ lcp["w_end"]["w"]
+            h = h + lcp["scale"] * yc
+            conv_tail = full[:, 1:].astype(conv_tail.dtype)
         f = rms_norm(h, lp["ffn_norm"]["w"], cfg.norm_eps)
         f = (jax.nn.silu(f @ lp["w1"]["w"]) * (f @ lp["w3"]["w"])) @ lp["w2"]["w"]
         h = h + lp["ffn_scale"] * f
-        return h, (k_ring, v_ring)
+        return h, (k_ring, v_ring, conv_tail)
 
     stacked = _stack_wt_layers(params)
     x, rings = jax.lax.scan(
-        lambda c, i: layer(c, (i[0], i[1], i[2])),
+        lambda c, i: layer(c, (i[0], i[1], i[2], i[3])),
         x,
-        (stacked, state.k_ring, state.v_ring),
+        (stacked, state.k_ring, state.v_ring, state.conv_tail),
     )
     x = rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
-    return RingState(rings[0], rings[1], state.count + 1), x
+    return RingState(rings[0], rings[1], state.count + 1, rings[2]), x
 
 
 @functools.lru_cache(maxsize=4)

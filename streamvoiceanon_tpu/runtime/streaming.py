@@ -246,6 +246,11 @@ class StreamSession:
 
         new = _copy.copy(self)
         new.cv = converter
+        # rebind the static config from the new converter: the target device
+        # may use different program-selection flags (e.g. the Pallas fast
+        # decoder on TPU while CPU prep ran the plain XLA scan) — state
+        # pytrees are shape-identical across those flags
+        new.cfg = converter.cfg
         put = lambda t: jax.device_put(t, device)
         new.key = put(self.key)
         new.ref_tokens = put(self.ref_tokens)

@@ -55,3 +55,33 @@ def test_encode_stream_beyond_window(cv, rng):
     got = np.concatenate(toks, axis=1)
     mismatch = (got != offline).mean()
     assert mismatch <= 0.01, f"token mismatch rate {mismatch}"
+
+
+def test_encode_stream_matches_offline_dwconv(rng):
+    """Streaming must stay token-exact when the LConv1d depthwise-conv branch
+    is enabled (windowed_transformer.py:197-234): the per-layer GLU-output
+    tail in RingState.conv_tail must reproduce the offline causal conv."""
+    import jax
+    from dataclasses import replace
+
+    from streamvoiceanon_tpu.utils.tiny import tiny_config
+
+    cfg = tiny_config().tokenizer
+    cfg = replace(cfg, transformer=replace(
+        cfg.transformer, dw_conv=True, conv_kernel_size=5))
+    params = tokenizer.init(jax.random.PRNGKey(7), cfg)
+    T = 16
+    wav = (rng.standard_normal((1, T * SPF)) * 0.2).astype(np.float32)
+    offline = np.asarray(tokenizer.encode(params, cfg, jnp.asarray(wav)))
+
+    state = tokenizer_stream.init_stream_state(params, cfg)
+    assert state.ring.conv_tail is not None
+    toks = []
+    for i in range(T):
+        state, t = tokenizer_stream.encode_stream(
+            params, cfg, state, jnp.asarray(wav[:, i * SPF : (i + 1) * SPF])
+        )
+        toks.append(np.asarray(t))
+    got = np.concatenate(toks, axis=1)
+    mismatch = (got != offline).mean()
+    assert mismatch == 0.0, f"token mismatch rate {mismatch}"
