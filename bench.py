@@ -213,9 +213,11 @@ def main():
             cv_tpu.arvc_params, cv_tpu.vocoder_params, cfg_tpu, fs.lm,
             fs.code_ring, fs.voc, toks_dev, sess.sampling, sess.key).compile(),
     }
+    # the concat compile is trivial but the FIRST program touch of a relay
+    # session can stall behind queued work (measured up to ~690 s on a
+    # degraded relay) — run it in the same parallel pool as the AOT compiles
     cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=-1))
-    np.asarray(cat([chunk_dev, chunk_dev]))  # concat compile (fast, serial)
-    log(f"  concat compile: {time.time()-t0:.1f}s")
+    jobs["concat"] = lambda: np.asarray(cat([chunk_dev, chunk_dev]))
     threads = []
     for name, job in jobs.items():
         def run(name=name, job=job):
@@ -288,7 +290,7 @@ def main():
     # deployment of this exact pipeline would sustain.
     if budget_left() > 150:
         try:
-            K = 32
+            K = 96  # big enough that the fixed ~26 ms relay fetch adds <0.3 ms/chunk
 
             def scan_chunks(tok_p, arvc_p, voc_p, fstate, chunks, key):
                 def body(carry, chunk):
@@ -317,19 +319,30 @@ def main():
             t0 = time.time()
             np.asarray(scan_jit(*args))
             log(f"device-floor scan x{K}: compile+first run {time.time()-t0:.1f}s")
-            floor = float("inf")
+            # null job: same dispatch+fetch pattern with ~zero device work —
+            # subtracting it isolates pure on-device compute per chunk
+            null_jit = jax.jit(lambda xs: jnp.sum(xs) * 1.0)
+            np.asarray(null_jit(chunks_dev))
+            floor = null = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 np.asarray(scan_jit(*args))
                 floor = min(floor, (time.perf_counter() - t0) / K)
+                t0 = time.perf_counter()
+                np.asarray(null_jit(chunks_dev))
+                null = min(null, (time.perf_counter() - t0) / K)
+            compute = max(floor - null, 0.0)
             with _best_lock:
                 if _best is not None:
                     _best["unit"] += (
                         f"; device floor {floor*1e3:.2f} ms/chunk = RTF "
                         f"{floor/FRAME_SECONDS:.3f} (lax.scan x{K}, one "
+                        f"dispatch+fetch; {compute*1e3:.2f} ms pure device "
+                        f"compute after subtracting the null-program "
                         f"dispatch+fetch)")
             log(f"device floor: {floor*1e3:.2f} ms/chunk "
-                f"RTF={floor/FRAME_SECONDS:.3f}")
+                f"RTF={floor/FRAME_SECONDS:.3f} "
+                f"(pure compute {compute*1e3:.2f} ms)")
         except Exception as e:  # noqa: BLE001
             log(f"device-floor phase failed ({type(e).__name__}: {e}) — "
                 f"keeping M-mode result")
