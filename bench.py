@@ -125,9 +125,7 @@ def build_converter(key, lm_dtype=jnp.bfloat16, device=None):
 
 
 def main():
-    from dataclasses import replace
-
-    from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig
+    from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig, tpu_optimized
     from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
     from streamvoiceanon_tpu.runtime.streaming import StreamSession
 
@@ -182,8 +180,7 @@ def main():
     # VMEM-resident Pallas fast decoder (weights stream from HBM once per
     # frame, measured 2.18 -> 1.28 ms/chunk for the LM stage); CPU prep above
     # ran the plain XLA scan — state pytrees are shape-identical.
-    cfg_tpu = replace(cfg, arvc=replace(
-        cfg.arvc, decoder=replace(cfg.arvc.decoder, use_pallas_fast_decode=True)))
+    cfg_tpu = tpu_optimized(cfg)
     t0 = time.time()
     cv_tpu = VoiceConverter(
         cfg=cfg_tpu,

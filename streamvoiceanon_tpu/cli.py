@@ -21,10 +21,12 @@ def build_converter_from_ckpts(ckpt_dir: str | None, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
-    from streamvoiceanon_tpu.config import PipelineConfig
+    from streamvoiceanon_tpu.config import PipelineConfig, tpu_optimized
     from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
 
     cfg = PipelineConfig()
+    if jax.default_backend() == "tpu":
+        cfg = tpu_optimized(cfg)
     if ckpt_dir is None:
         from streamvoiceanon_tpu.utils import randparams as rp
 

@@ -400,3 +400,14 @@ def preset(name: str) -> StreamConfig:
 def replace(cfg, **kwargs):
     """dataclasses.replace that works through frozen configs."""
     return dataclasses.replace(cfg, **kwargs)
+
+
+def tpu_optimized(cfg: PipelineConfig) -> PipelineConfig:
+    """Program-selection flags measured fastest on real TPU hardware
+    (BENCH.md): currently the VMEM-resident Pallas fast-codebook decoder
+    (LM decode stage 2.18 -> ~1.4 ms/frame).  use_pallas_decode stays off —
+    the XLA decode-attention path measured faster at this geometry.  State
+    pytrees are shape-identical with the flags off, so converters/sessions
+    built either way interoperate (StreamSession.transfer rebinds config)."""
+    return replace(cfg, arvc=replace(
+        cfg.arvc, decoder=replace(cfg.arvc.decoder, use_pallas_fast_decode=True)))
