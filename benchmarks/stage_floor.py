@@ -33,7 +33,13 @@ def main():
     ap.add_argument("--pallas-fast", action="store_true",
                     help="route the codebook loop through the VMEM-resident "
                          "Pallas fast decoder")
+    ap.add_argument("--unroll", default="1",
+                    help="slow-transformer decode layer-scan unroll factor(s);"
+                         " comma list sweeps the LM stage per factor")
+    ap.add_argument("--stages", default="",
+                    help="comma list of stages to run (default: all)")
     args = ap.parse_args()
+    unrolls = [int(u) for u in str(args.unroll).split(",")]
 
     sys.path.insert(0, "/root/repo")
     from bench import build_converter
@@ -51,13 +57,18 @@ def main():
     cpu = jax.devices("cpu")[0]
     print(f"devices: tpu={tpu}", file=sys.stderr)
 
-    cfg = PipelineConfig()
-    if args.pallas_fast:
-        from dataclasses import replace
+    from dataclasses import replace
 
-        cfg = replace(cfg, arvc=replace(
-            cfg.arvc, decoder=replace(
-                cfg.arvc.decoder, use_pallas_fast_decode=True)))
+    def with_decode_opts(base, unroll):
+        return replace(base, arvc=replace(
+            base.arvc, decoder=replace(
+                base.arvc.decoder,
+                use_pallas_fast_decode=args.pallas_fast,
+                decode_layer_unroll=unroll)))
+
+    cfg = PipelineConfig()
+    if args.pallas_fast or unrolls[0] != 1:
+        cfg = with_decode_opts(cfg, unrolls[0])
     spf = cfg.samples_per_frame
     rng = np.random.default_rng(0)
     dsp_dtype = np.dtype(args.dsp_dtype) if args.dsp_dtype == "float32" else jnp.bfloat16
@@ -113,14 +124,16 @@ def main():
             return (ts, rg), t
         return jax.lax.scan(body, (tstate, ring), xs)
 
-    def scan_lm(arvc_p, lm, key, xs):
-        def body(carry, tok):
-            st, kk = carry
-            kk, sub = jax.random.split(kk)
-            st, c = arvc.decode_one(arvc_p, cfg.arvc, st, tok, sub,
-                                    sess.sampling)
-            return (st, kk), c
-        return jax.lax.scan(body, (lm, key), xs)
+    def make_scan_lm(cfg_u):
+        def scan_lm(arvc_p, lm, key, xs):
+            def body(carry, tok):
+                st, kk = carry
+                kk, sub = jax.random.split(kk)
+                st, c = arvc.decode_one(arvc_p, cfg_u.arvc, st, tok, sub,
+                                        sess.sampling)
+                return (st, kk), c
+            return jax.lax.scan(body, (lm, key), xs)
+        return scan_lm
 
     def scan_voc(voc_p, vstate, xs):
         def body(carry, c):
@@ -155,7 +168,7 @@ def main():
         "encode": (scalarize(scan_encode,
                              lambda o: jnp.sum(o[1]).astype(jnp.float32)),
                    (cv.tokenizer_params, fs.tok, fs.tok_ring, chunks)),
-        "lm_decode": (scalarize(scan_lm,
+        "lm_decode": (scalarize(make_scan_lm(cfg),
                                 lambda o: jnp.sum(o[1]).astype(jnp.float32)),
                       (cv.arvc_params, fs.lm, jax.random.PRNGKey(5), toks)),
         "vocoder": (scalarize(scan_voc,
@@ -166,6 +179,15 @@ def main():
                        ((cv.tokenizer_params, cv.arvc_params, cv.vocoder_params),
                         fs, jax.random.PRNGKey(6), chunks)),
     }
+    for u in unrolls[1:]:
+        jobs[f"lm_unroll{u}"] = (
+            scalarize(make_scan_lm(with_decode_opts(cfg, u)),
+                      lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+            (cv.arvc_params, fs.lm, jax.random.PRNGKey(5), toks))
+    if args.stages:
+        keep = set(args.stages.split(","))
+        jobs = {k: v for k, v in jobs.items()
+                if k in keep or k.startswith("lm_unroll")}
     total = 0.0
     for name, (fn, a) in jobs.items():
         t0 = time.time()

@@ -142,6 +142,11 @@ class DualARConfig:
     # fall back to the XLA scan, whose matmuls already amortize over rows.
     use_pallas_fast_decode: bool = False
 
+    # Unroll factor for the slow-transformer layer scan in decode_frame:
+    # unrolling lets XLA overlap layer l+1's HBM weight streaming with layer
+    # l's compute on the tiny 2-token decode step.  1 = rolled loop.
+    decode_layer_unroll: int = 1
+
     def __post_init__(self):
         if self.n_local_heads == -1:
             object.__setattr__(self, "n_local_heads", self.n_head)

@@ -245,8 +245,14 @@ def _run_layers(
     head_dim: int,
     norm_eps: float,
     use_pallas: bool = False,
+    unroll: int = 1,
 ):
-    """lax.scan over stacked layers, threading x and the per-layer caches."""
+    """lax.scan over stacked layers, threading x and the per-layer caches.
+
+    `unroll` > 1 unrolls the layer loop in the compiled program, letting XLA
+    overlap one layer's HBM weight streaming with the previous layer's
+    compute — worthwhile for tiny-T decode steps where each layer is
+    latency-bound, wasteful for long-sequence prefill/training."""
 
     def body(carry, inp):
         h = carry
@@ -262,6 +268,7 @@ def _run_layers(
             lambda c, i: body(c, (i[0], (i[1], i[2]))),
             x,
             (stacked, caches[0], caches[1]),
+            unroll=unroll,
         )
         return x, (new_caches[0], new_caches[1])
     x, _ = jax.lax.scan(lambda c, lp: (body(c, (lp, None))[0], None), x, stacked)
@@ -544,7 +551,7 @@ def decode_frame(
     x, caches = _run_layers(
         params["layers"], emb2, freqs, mask, (state.k_cache, state.v_cache),
         state.pos, cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
-        use_pallas=cfg.use_pallas_decode,
+        use_pallas=cfg.use_pallas_decode, unroll=cfg.decode_layer_unroll,
     )
     last = x[:, -1:]
     logits = _token_logits(params, cfg, last)[:, -1]  # (B, vocab)

@@ -96,3 +96,42 @@ def test_decode_frame_pallas_flag_parity(rng):
     # padded lanes beyond head_dim stay zero in the pallas layout
     state_p = dual_ar.init_state(cfg_p, batch=1, cache_dtype=jnp.float32)
     assert state_p.k_cache.shape[-1] == 128
+
+
+def test_decode_frame_unroll_parity(rng):
+    """decode_layer_unroll only changes the compiled schedule of the layer
+    scan, never the math: greedy tokens and codes must match unroll=1
+    exactly, including a factor that does not divide n_layer."""
+    from streamvoiceanon_tpu import config as C
+    from streamvoiceanon_tpu.models import dual_ar
+
+    base = C.DualARConfig(
+        vocab_size=256, n_layer=3, n_head=2, dim=32, intermediate_size=64,
+        head_dim=16, max_seq_len=256, codebook_size=64, num_codebooks=8,
+        n_fast_layer=1, fast_dim=32, fast_n_head=2, fast_head_dim=16,
+        fast_intermediate_size=64,
+    )
+    params = dual_ar.prepare_params(dual_ar.random_params(jax.random.PRNGKey(1), base))
+    samp = C.SamplingConfig(greedy=True)
+    prompt = jnp.asarray(rng.standard_normal((1, 12, base.dim)).astype(np.float32))
+
+    outs = {}
+    for unroll in (1, 2, 3):
+        cfg = C.replace(base, decode_layer_unroll=unroll)
+        state = dual_ar.init_state(cfg, batch=1, cache_dtype=jnp.float32)
+        state, _ = dual_ar.prefill(params, cfg, state, prompt, jnp.int32(9))
+        toks, all_codes = [], []
+        for i in range(3):
+            emb2 = jnp.asarray(
+                np.random.default_rng(200 + i).standard_normal((1, 2, base.dim)).astype(np.float32)
+            )
+            state, tok, codes = dual_ar.decode_frame(
+                params, cfg, state, emb2, jax.random.PRNGKey(2), samp)
+            toks.append(int(tok[0]))
+            all_codes.append(np.asarray(codes))
+        outs[unroll] = (toks, np.stack(all_codes), np.asarray(state.k_cache))
+
+    for unroll in (2, 3):
+        assert outs[1][0] == outs[unroll][0]
+        np.testing.assert_array_equal(outs[1][1], outs[unroll][1])
+        np.testing.assert_allclose(outs[1][2], outs[unroll][2], atol=1e-5, rtol=1e-5)
