@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--pallas-fast", action="store_true",
                     help="route the codebook loop through the VMEM-resident "
                          "Pallas fast decoder")
+    ap.add_argument("--pallas-slow", action="store_true",
+                    help="route the 12-layer slow decode step through the "
+                         "grid-pipelined Pallas kernel (flat cache layout)")
     ap.add_argument("--unroll", default="1",
                     help="slow-transformer decode layer-scan unroll factor(s);"
                          " comma list sweeps the LM stage per factor")
@@ -64,10 +67,11 @@ def main():
             base.arvc, decoder=replace(
                 base.arvc.decoder,
                 use_pallas_fast_decode=args.pallas_fast,
+                use_pallas_slow_decode=args.pallas_slow,
                 decode_layer_unroll=unroll)))
 
     cfg = PipelineConfig()
-    if args.pallas_fast or unrolls[0] != 1:
+    if args.pallas_fast or args.pallas_slow or unrolls[0] != 1:
         cfg = with_decode_opts(cfg, unrolls[0])
     spf = cfg.samples_per_frame
     rng = np.random.default_rng(0)

@@ -145,13 +145,27 @@ class DualARConfig:
     # Unroll factor for the slow-transformer layer scan in decode_frame:
     # unrolling lets XLA overlap layer l+1's HBM weight streaming with layer
     # l's compute on the tiny 2-token decode step.  1 = rolled loop.
+    # (Measured NEGATIVE on v5e — see BENCH.md; kept for experimentation.)
     decode_layer_unroll: int = 1
+
+    # Run the whole 12-layer slow decode step in one grid-pipelined Pallas
+    # kernel (ops/pallas_slow_decode.py): the layer index is the grid
+    # dimension, so Mosaic double-buffers layer l+1's weights + cache behind
+    # layer l's compute.  Changes the KV-cache layout to flat
+    # (L, B, S, n_head*head_dim) rows — a state-layout choice like
+    # use_pallas_decode, and mutually exclusive with it.  Batch-1 MHA decode
+    # only; prefill and larger batches use the XLA path on the same layout.
+    use_pallas_slow_decode: bool = False
 
     def __post_init__(self):
         if self.n_local_heads == -1:
             object.__setattr__(self, "n_local_heads", self.n_head)
         if self.fast_n_local_heads == -1:
             object.__setattr__(self, "fast_n_local_heads", self.fast_n_head)
+        if self.use_pallas_slow_decode and self.use_pallas_decode:
+            raise ValueError(
+                "use_pallas_slow_decode and use_pallas_decode imply different "
+                "KV-cache layouts; enable at most one")
 
     @property
     def cache_head_dim(self) -> int:
@@ -409,10 +423,15 @@ def replace(cfg, **kwargs):
 
 def tpu_optimized(cfg: PipelineConfig) -> PipelineConfig:
     """Program-selection flags measured fastest on real TPU hardware
-    (BENCH.md): currently the VMEM-resident Pallas fast-codebook decoder
-    (LM decode stage 2.18 -> ~1.4 ms/frame).  use_pallas_decode stays off —
-    the XLA decode-attention path measured faster at this geometry.  State
-    pytrees are shape-identical with the flags off, so converters/sessions
-    built either way interoperate (StreamSession.transfer rebinds config)."""
+    (BENCH.md): the VMEM-resident Pallas fast-codebook decoder plus the
+    grid-pipelined Pallas slow-step kernel (LM decode stage 2.18 -> 0.94
+    ms/frame combined).  use_pallas_decode stays off — the XLA
+    decode-attention path measured faster at this geometry.  The slow kernel
+    changes the LM KV-cache layout to flat rows; StreamSession.transfer
+    migrates state between layouts, so converters/sessions built either way
+    interoperate."""
     return replace(cfg, arvc=replace(
-        cfg.arvc, decoder=replace(cfg.arvc.decoder, use_pallas_fast_decode=True)))
+        cfg.arvc, decoder=replace(
+            cfg.arvc.decoder,
+            use_pallas_fast_decode=True,
+            use_pallas_slow_decode=True)))

@@ -32,6 +32,7 @@ from streamvoiceanon_tpu.config import DualARConfig, SamplingConfig
 from streamvoiceanon_tpu.ops.norm import rms_norm
 from streamvoiceanon_tpu.ops.pallas_attention import decode_attention_prepadded
 from streamvoiceanon_tpu.ops.pallas_fast_decode import fast_decode as pallas_fast_decode
+from streamvoiceanon_tpu.ops.pallas_slow_decode import slow_decode_step
 from streamvoiceanon_tpu.ops.rope import apply_rope, precompute_freqs_cis
 from streamvoiceanon_tpu.ops.sampling import sample_token
 
@@ -195,7 +196,27 @@ def _attn_block(
         )
         return x + f, new_kv
 
-    if kv is not None:
+    if kv is not None and kv[0].ndim == 3:
+        # flat (B, S, n_local*head_dim) cache layout (use_pallas_slow_decode):
+        # roped K rows are stored flat; reads transpose back to (B, H, S, D).
+        k_cache, v_cache = kv
+        S = k_cache.shape[1]
+        k_rows = jnp.swapaxes(k, 1, 2).reshape(B, T, n_local * head_dim)
+        v_rows = jnp.swapaxes(v, 1, 2).reshape(B, T, n_local * head_dim)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_rows.astype(k_cache.dtype), (0, pos, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_rows.astype(v_cache.dtype), (0, pos, 0)
+        )
+        k_all = jnp.swapaxes(
+            k_cache.reshape(B, S, n_local, head_dim), 1, 2
+        ).astype(x.dtype)
+        v_all = jnp.swapaxes(
+            v_cache.reshape(B, S, n_local, head_dim), 1, 2
+        ).astype(x.dtype)
+        new_kv = (k_cache, v_cache)
+    elif kv is not None:
         k_cache, v_cache = kv
         cache_dim = k_cache.shape[-1]
         if cache_dim != head_dim:  # pallas-padded layout driven by an XLA step
@@ -289,12 +310,50 @@ class DecodeState(NamedTuple):
 def init_state(
     cfg: DualARConfig, batch: int = 1, cache_dtype=jnp.bfloat16
 ) -> DecodeState:
-    shape = (cfg.n_layer, batch, cfg.n_local_heads, cfg.max_seq_len, cfg.cache_head_dim)
+    if cfg.use_pallas_slow_decode:
+        # flat row layout consumed by ops/pallas_slow_decode (and by the XLA
+        # path via the flat branch of _attn_block)
+        shape = (cfg.n_layer, batch, cfg.max_seq_len,
+                 cfg.n_local_heads * cfg.head_dim)
+    else:
+        shape = (cfg.n_layer, batch, cfg.n_local_heads, cfg.max_seq_len,
+                 cfg.cache_head_dim)
     return DecodeState(
         jnp.zeros(shape, cache_dtype),
         jnp.zeros(shape, cache_dtype),
         jnp.int32(0),
     )
+
+
+def convert_cache_layout(state: DecodeState, cfg: DualARConfig) -> DecodeState:
+    """Re-layout a DecodeState to match `cfg`'s program-selection flags.
+
+    The three layouts: (L, B, H, S, D[, padded]) for the XLA scan /
+    per-head Pallas decode kernel, and flat (L, B, S, H*D) rows for the
+    grid-pipelined slow kernel.  Used by StreamSession.transfer when the
+    target device's converter enables different flags than the prep device."""
+    kc = state.k_cache
+    want_flat = cfg.use_pallas_slow_decode
+    if want_flat and kc.ndim == 5:
+        L, B, H, S, Dp = kc.shape
+        D = cfg.head_dim
+
+        def to_flat(c):
+            return jnp.swapaxes(c[..., :D], 2, 3).reshape(L, B, S, H * D)
+
+        return DecodeState(to_flat(state.k_cache), to_flat(state.v_cache), state.pos)
+    if not want_flat and kc.ndim == 4:
+        L, B, S, HD = kc.shape
+        H, D = cfg.n_local_heads, cfg.head_dim
+
+        def to_headed(c):
+            c = jnp.swapaxes(c.reshape(L, B, S, H, D), 2, 3)
+            if cfg.cache_head_dim != D:
+                c = jnp.pad(c, ((0, 0),) * 4 + ((0, cfg.cache_head_dim - D),))
+            return c
+
+        return DecodeState(to_headed(state.k_cache), to_headed(state.v_cache), state.pos)
+    return state
 
 
 def _freqs(cfg: DualARConfig) -> jax.Array:
@@ -544,15 +603,39 @@ def decode_frame(
     Equivalent to decode_one_token_ar on a 2-token window
     (dual_ar_stream.py:1168-1219)."""
     B = emb2.shape[0]
-    positions = state.pos + jnp.arange(2)
-    freqs = jnp.take(_freqs(cfg), positions, axis=0)
-    col = jnp.arange(cfg.max_seq_len)[None, :]
-    mask = col <= positions[:, None]
-    x, caches = _run_layers(
-        params["layers"], emb2, freqs, mask, (state.k_cache, state.v_cache),
-        state.pos, cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
-        use_pallas=cfg.use_pallas_decode, unroll=cfg.decode_layer_unroll,
-    )
+    if (
+        cfg.use_pallas_slow_decode
+        and B == 1
+        and cfg.n_local_heads == cfg.n_head
+    ):
+        x2, k_rows, v_rows = slow_decode_step(
+            params["layers"], emb2[0], state.k_cache[:, 0], state.v_cache[:, 0],
+            state.pos,
+            n_head=cfg.n_head, head_dim=cfg.head_dim,
+            max_seq_len=cfg.max_seq_len, rope_base=cfg.rope_base,
+            norm_eps=cfg.norm_eps, interpret=_pallas_interpret(),
+        )
+        # fold the 2 fresh rows into the donated caches in place — the kernel
+        # reads the caches but never writes them back whole
+        k_cache = jax.lax.dynamic_update_slice(
+            state.k_cache, k_rows[:, None].astype(state.k_cache.dtype),
+            (0, 0, state.pos, 0),
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            state.v_cache, v_rows[:, None].astype(state.v_cache.dtype),
+            (0, 0, state.pos, 0),
+        )
+        x, caches = x2[None], (k_cache, v_cache)
+    else:
+        positions = state.pos + jnp.arange(2)
+        freqs = jnp.take(_freqs(cfg), positions, axis=0)
+        col = jnp.arange(cfg.max_seq_len)[None, :]
+        mask = col <= positions[:, None]
+        x, caches = _run_layers(
+            params["layers"], emb2, freqs, mask, (state.k_cache, state.v_cache),
+            state.pos, cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
+            use_pallas=cfg.use_pallas_decode, unroll=cfg.decode_layer_unroll,
+        )
     last = x[:, -1:]
     logits = _token_logits(params, cfg, last)[:, -1]  # (B, vocab)
     k_sem, k_fast = jax.random.split(key)

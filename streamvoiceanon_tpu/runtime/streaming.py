@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig, StreamConfig
-from streamvoiceanon_tpu.models import arvc, tokenizer, tokenizer_stream, vocoder
+from streamvoiceanon_tpu.models import arvc, dual_ar, tokenizer, tokenizer_stream, vocoder
 
 
 # ---------------------------------------------------------------------------
@@ -259,11 +259,18 @@ class StreamSession:
             new.style = put(self.style)
         if self.timbre is not None:
             new.timbre = put(self.timbre)
+        # the LM KV-cache layout is config-dependent (flat rows for the
+        # grid-pipelined slow kernel, per-head otherwise) — migrate it when
+        # the target flags differ from the ones the state was built under
+        dcfg = converter.cfg.arvc.decoder
+        relayout = lambda st: st._replace(
+            decode=dual_ar.convert_cache_layout(st.decode, dcfg))
         if self.incremental:
             new._mel_consts = put(self._mel_consts)
             new.fstate = jax.tree.map(put, self.fstate)
+            new.fstate = new.fstate._replace(lm=relayout(new.fstate.lm))
         else:
-            new.state = jax.tree.map(put, self.state)
+            new.state = relayout(jax.tree.map(put, self.state))
             new.wav_window = put(self.wav_window)
             new.tok_ring = put(self.tok_ring)
             new.code_window = put(self.code_window)
