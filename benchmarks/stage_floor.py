@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--pallas-slow", action="store_true",
                     help="route the 12-layer slow decode step through the "
                          "grid-pipelined Pallas kernel (flat cache layout)")
+    ap.add_argument("--pallas-wt", action="store_true",
+                    help="route the tokenizer's windowed-transformer ring "
+                         "step through the grid-pipelined Pallas kernel")
     ap.add_argument("--unroll", default="1",
                     help="slow-transformer decode layer-scan unroll factor(s);"
                          " comma list sweeps the LM stage per factor")
@@ -63,15 +66,20 @@ def main():
     from dataclasses import replace
 
     def with_decode_opts(base, unroll):
-        return replace(base, arvc=replace(
+        out = replace(base, arvc=replace(
             base.arvc, decoder=replace(
                 base.arvc.decoder,
                 use_pallas_fast_decode=args.pallas_fast,
                 use_pallas_slow_decode=args.pallas_slow,
                 decode_layer_unroll=unroll)))
+        if args.pallas_wt:
+            out = replace(out, tokenizer=replace(
+                out.tokenizer, transformer=replace(
+                    out.tokenizer.transformer, use_pallas_stream=True)))
+        return out
 
     cfg = PipelineConfig()
-    if args.pallas_fast or args.pallas_slow or unrolls[0] != 1:
+    if args.pallas_fast or args.pallas_slow or args.pallas_wt or unrolls[0] != 1:
         cfg = with_decode_opts(cfg, unrolls[0])
     spf = cfg.samples_per_frame
     rng = np.random.default_rng(0)
@@ -167,8 +175,85 @@ def main():
             return reduce(out)
         return jax.jit(run)
 
+    # encode sub-stages: front = mel + ConvNeXt backbone + downsample convs;
+    # wt = windowed-transformer ring step + LFQ.  Splits the encode stage so
+    # kernel effort lands on the fatter half.
+    from streamvoiceanon_tpu.models import tokenizer_stream as ts
+    from streamvoiceanon_tpu.ops import quantizers as Q
+
+    def scan_enc_front(tok_p, mel_st, bb_st, down_st, xs):
+        def body(carry, chunk):
+            m, b, d = carry
+            m, mel = ts.mel_stream(m, chunk, cfg.tokenizer.mel, sess._mel_consts)
+            b, feat = ts.convnext_encoder_apply_stream(
+                tok_p["backbone"], cfg.tokenizer.backbone, b, mel)
+            z = feat
+            nd = []
+            from streamvoiceanon_tpu.models import convnext as cnx
+            from streamvoiceanon_tpu.ops import conv as convops
+            for stage, st, f in zip(tok_p["downsample"], d,
+                                    cfg.tokenizer.quantizer.downsample_factor):
+                cs, z = convops.causal_conv1d_stream(
+                    st["conv"], z, stage["conv"]["w"], stage["conv"]["b"], stride=f)
+                bs, z = cnx.convnext_block_apply_stream(stage["block"], st["block"], z)
+                nd.append({"conv": cs, "block": bs})
+            return (m, b, tuple(nd)), jnp.sum(z)
+        return jax.lax.scan(body, (mel_st, bb_st, down_st), xs)
+
+    def scan_enc_wt(tok_p, ring, xs):
+        def body(rg, z1):
+            rg, h = ts.transformer_stream_step(
+                tok_p["pre_module"], cfg.tokenizer.transformer, rg, z1)
+            toks = Q.lfq_encode(tok_p["lfq"], h,
+                                cfg.tokenizer.quantizer.codebook_bits)
+            return rg, jnp.sum(toks)
+        return jax.lax.scan(body, ring, xs)
+
+    def scan_wt_step_only(tok_p, ring, xs):
+        # transformer step alone (no LFQ/final-norm glue) — isolates the
+        # ring-step cost from the per-token XLA epilogue
+        def body(rg, z1):
+            rg, h = ts.transformer_stream_step(
+                tok_p["pre_module"], cfg.tokenizer.transformer, rg, z1)
+            return rg, jnp.sum(h)
+        return jax.lax.scan(body, ring, xs)
+
+    def scan_wt_kernel_only(tok_p, ring, xs):
+        # raw pallas kernel in a scan (flat ring required)
+        from streamvoiceanon_tpu.models.tokenizer_stream import _stack_wt_layers
+        from streamvoiceanon_tpu.ops.pallas_wt_stream import wt_stream_step
+        tcfg = cfg.tokenizer.transformer
+        stacked = _stack_wt_layers(tok_p["pre_module"])
+
+        def body(carry, z1):
+            kr, vr, cnt = carry
+            h, kr, vr = wt_stream_step(
+                stacked, z1[:, 0], kr, vr, cnt,
+                n_head=tcfg.n_head, head_dim=tcfg.head_dim,
+                rope_base=tcfg.rope_base, norm_eps=tcfg.norm_eps)
+            return (kr, vr, cnt + 1), jnp.sum(h)
+        init = (ring.k_ring[:, 0], ring.v_ring[:, 0], ring.count)
+        return jax.lax.scan(body, init, xs)
+
+    zdim = cfg.tokenizer.transformer.dim
+    z_feed = jax.device_put(jnp.asarray(
+        rng.standard_normal((K, 1, 1, zdim)), fs.tok.ring.k_ring.dtype), tpu)
+
     jobs = {
         "null": (jax.jit(lambda xs: jnp.sum(xs) * 1.0), (chunks,)),
+        "enc_front": (scalarize(scan_enc_front,
+                                lambda o: o[1][-1].astype(jnp.float32)),
+                      (cv.tokenizer_params, fs.tok.mel, fs.tok.backbone,
+                       fs.tok.down, chunks)),
+        "enc_wt": (scalarize(scan_enc_wt,
+                             lambda o: o[1][-1].astype(jnp.float32)),
+                   (cv.tokenizer_params, fs.tok.ring, z_feed)),
+        "wt_step": (scalarize(scan_wt_step_only,
+                              lambda o: o[1][-1].astype(jnp.float32)),
+                    (cv.tokenizer_params, fs.tok.ring, z_feed)),
+        "wt_kern": (scalarize(scan_wt_kernel_only,
+                              lambda o: o[1][-1].astype(jnp.float32)),
+                    (cv.tokenizer_params, fs.tok.ring, z_feed)),
         "encode": (scalarize(scan_encode,
                              lambda o: jnp.sum(o[1]).astype(jnp.float32)),
                    (cv.tokenizer_params, fs.tok, fs.tok_ring, chunks)),
@@ -183,6 +268,8 @@ def main():
                        ((cv.tokenizer_params, cv.arvc_params, cv.vocoder_params),
                         fs, jax.random.PRNGKey(6), chunks)),
     }
+    if not args.pallas_wt:
+        jobs.pop("wt_kern", None)  # needs the flat ring layout
     for u in unrolls[1:]:
         jobs[f"lm_unroll{u}"] = (
             scalarize(make_scan_lm(with_decode_opts(cfg, u)),

@@ -85,6 +85,12 @@ class WindowedTransformerConfig:
     # deployed tokenizer config)
     dw_conv: bool = False
     conv_kernel_size: int = 5
+    # Run the streaming ring step (one new token through all layers) in one
+    # grid-pipelined Pallas kernel (ops/pallas_wt_stream.py).  Changes the
+    # RingState layout to flat (L, B, W, n_head*head_dim) rows.  Batch-1,
+    # dw_conv-off decode only; other cases fall back to the XLA scan on the
+    # same layout.
+    use_pallas_stream: bool = False
 
 
 @dataclass(frozen=True)
@@ -430,8 +436,12 @@ def tpu_optimized(cfg: PipelineConfig) -> PipelineConfig:
     changes the LM KV-cache layout to flat rows; StreamSession.transfer
     migrates state between layouts, so converters/sessions built either way
     interoperate."""
-    return replace(cfg, arvc=replace(
-        cfg.arvc, decoder=replace(
+    return replace(
+        cfg,
+        arvc=replace(cfg.arvc, decoder=replace(
             cfg.arvc.decoder,
             use_pallas_fast_decode=True,
-            use_pallas_slow_decode=True)))
+            use_pallas_slow_decode=True)),
+        tokenizer=replace(cfg.tokenizer, transformer=replace(
+            cfg.tokenizer.transformer, use_pallas_stream=True)),
+    )

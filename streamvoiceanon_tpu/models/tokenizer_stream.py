@@ -29,6 +29,7 @@ import numpy as np
 
 from streamvoiceanon_tpu.config import TokenizerConfig, WindowedTransformerConfig
 from streamvoiceanon_tpu.models import convnext
+from streamvoiceanon_tpu.models.dual_ar import _pallas_interpret
 from streamvoiceanon_tpu.ops import conv as convops
 from streamvoiceanon_tpu.ops import quantizers, stft
 from streamvoiceanon_tpu.ops.norm import layer_norm, rms_norm
@@ -153,7 +154,12 @@ def _rotate_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def ring_init(cfg: WindowedTransformerConfig, batch: int = 1, dtype=jnp.float32) -> RingState:
     W = cfg.window_size
-    shape = (cfg.n_layer, batch, cfg.n_head, W, cfg.head_dim)
+    if cfg.use_pallas_stream:
+        # flat row layout consumed by ops/pallas_wt_stream (and by the XLA
+        # fallback via a reshape round-trip in transformer_stream_step)
+        shape = (cfg.n_layer, batch, W, cfg.n_head * cfg.head_dim)
+    else:
+        shape = (cfg.n_layer, batch, cfg.n_head, W, cfg.head_dim)
     conv_tail = (
         jnp.zeros((cfg.n_layer, batch, cfg.conv_kernel_size - 1, cfg.dim), dtype)
         if cfg.dw_conv
@@ -162,6 +168,34 @@ def ring_init(cfg: WindowedTransformerConfig, batch: int = 1, dtype=jnp.float32)
     return RingState(
         jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.int32(0), conv_tail
     )
+
+
+def convert_ring_layout(state: RingState, cfg: WindowedTransformerConfig) -> RingState:
+    """Re-layout a RingState to match cfg.use_pallas_stream: flat
+    (L, B, W, H*D) rows for the grid-pipelined kernel, per-head
+    (L, B, H, W, D) otherwise.  Used by StreamSession.transfer."""
+    kr = state.k_ring
+    want_flat = cfg.use_pallas_stream
+    if want_flat and kr.ndim == 5:
+        L, B, H, W, D = kr.shape
+
+        def to_flat(r):
+            return jnp.swapaxes(r, 2, 3).reshape(L, B, W, H * D)
+
+        return state._replace(
+            k_ring=to_flat(state.k_ring), v_ring=to_flat(state.v_ring)
+        )
+    if not want_flat and kr.ndim == 4:
+        L, B, W, HD = kr.shape
+        H, D = cfg.n_head, cfg.head_dim
+
+        def to_headed(r):
+            return jnp.swapaxes(r.reshape(L, B, W, H, D), 2, 3)
+
+        return state._replace(
+            k_ring=to_headed(state.k_ring), v_ring=to_headed(state.v_ring)
+        )
+    return state
 
 
 def transformer_stream_step(
@@ -174,6 +208,45 @@ def transformer_stream_step(
     causal attention because RoPE scores depend only on (query - key)
     position differences."""
     W = cfg.window_size
+    flat = state.k_ring.ndim == 4  # (L, B, W, H*D) — use_pallas_stream layout
+    if flat:
+        B = x.shape[0]
+        if B == 1 and not cfg.dw_conv and cfg.n_head * cfg.head_dim == cfg.dim:
+            from streamvoiceanon_tpu.ops.pallas_wt_stream import wt_stream_step
+
+            h, k_ring, v_ring = wt_stream_step(
+                _stack_wt_layers(params), x[0], state.k_ring[:, 0],
+                state.v_ring[:, 0], state.count,
+                n_head=cfg.n_head, head_dim=cfg.head_dim,
+                rope_base=cfg.rope_base, norm_eps=cfg.norm_eps,
+                interpret=_pallas_interpret(),
+            )
+            h = rms_norm(h[None], params["final_norm"]["w"], cfg.norm_eps)
+            return RingState(
+                k_ring[:, None], v_ring[:, None], state.count + 1,
+                state.conv_tail,
+            ), h
+        # fallback (batched / dw_conv): round-trip through the headed layout
+        L = state.k_ring.shape[0]
+
+        def to_headed(r):
+            return jnp.swapaxes(
+                r.reshape(L, B, W, cfg.n_head, cfg.head_dim), 2, 3
+            )
+
+        headed = state._replace(
+            k_ring=to_headed(state.k_ring), v_ring=to_headed(state.v_ring)
+        )
+        new, h = transformer_stream_step(params, cfg, headed, x)
+
+        def to_flat(r):
+            return jnp.swapaxes(r, 2, 3).reshape(
+                L, B, W, cfg.n_head * cfg.head_dim
+            )
+
+        return new._replace(
+            k_ring=to_flat(new.k_ring), v_ring=to_flat(new.v_ring)
+        ), h
     unit = jnp.asarray(_unit_rotation(cfg.head_dim, cfg.rope_base))
     cos, sin = unit[None, None, None, :, 0], unit[None, None, None, :, 1]
     age = W - 1 - jnp.arange(W)  # slot W-1 is the newest

@@ -268,7 +268,11 @@ class StreamSession:
         if self.incremental:
             new._mel_consts = put(self._mel_consts)
             new.fstate = jax.tree.map(put, self.fstate)
-            new.fstate = new.fstate._replace(lm=relayout(new.fstate.lm))
+            new.fstate = new.fstate._replace(
+                lm=relayout(new.fstate.lm),
+                tok=new.fstate.tok._replace(ring=tokenizer_stream.convert_ring_layout(
+                    new.fstate.tok.ring, converter.cfg.tokenizer.transformer)),
+            )
         else:
             new.state = relayout(jax.tree.map(put, self.state))
             new.wav_window = put(self.wav_window)
