@@ -138,10 +138,16 @@ def main():
 
     cfg = PipelineConfig()
     t0 = time.time()
-    tok_np = rp.tokenizer_params_np(cfg.tokenizer, 1)
-    voc_np = rp.vocoder_params_np(cfg.vocoder, 2)
+    # DSP (tokenizer/vocoder) serving precision: bf16 halves the dominant
+    # weight-streaming traffic of the encode/vocode stages (BENCH.md); the
+    # reference's live GUI likewise serves in fp16 (real-time-gui.py fp16
+    # inference).  Override with BENCH_DSP_DTYPE=float32.
+    dsp_dtype = (jnp.float32 if os.environ.get("BENCH_DSP_DTYPE") == "float32"
+                 else jnp.bfloat16)
+    tok_np = rp.tokenizer_params_np(cfg.tokenizer, 1, dtype=dsp_dtype)
+    voc_np = rp.vocoder_params_np(cfg.vocoder, 2, dtype=dsp_dtype)
     arvc_np = rp.arvc_params_np(cfg.arvc, 3, jnp.bfloat16)
-    log(f"numpy params: {time.time()-t0:.1f}s")
+    log(f"numpy params: {time.time()-t0:.1f}s (dsp dtype {jnp.dtype(dsp_dtype).name})")
 
     # ---- phase 2: one-time prep on the CPU backend -------------------------
     t0 = time.time()

@@ -268,6 +268,68 @@ def main():
                        ((cv.tokenizer_params, cv.arvc_params, cv.vocoder_params),
                         fs, jax.random.PRNGKey(6), chunks)),
     }
+    # LM sub-stages: the two Pallas kernels alone; lm_decode minus their sum
+    # is the per-frame XLA glue (embeds, logits head, sampling, interleave)
+    if args.pallas_slow:
+        from streamvoiceanon_tpu.ops.pallas_slow_decode import slow_decode_step
+        dcfg = cfg.arvc.decoder
+        lm_params = cv.arvc_params["model"]
+
+        def scan_slow_kern(layers, onorm, ohead, kc, vc, xs):
+            def body(carry, x2):
+                kc_, vc_, pos, kk = carry
+                kk, sub = jax.random.split(kk)
+                x, kr, vr, tok = slow_decode_step(
+                    layers, x2, kc_, vc_, pos, onorm, ohead, sub,
+                    n_head=dcfg.n_head, head_dim=dcfg.head_dim,
+                    max_seq_len=dcfg.max_seq_len, rope_base=dcfg.rope_base,
+                    norm_eps=dcfg.norm_eps,
+                    temperature=sess.sampling.temperature,
+                    top_p=sess.sampling.top_p, greedy=sess.sampling.greedy)
+                kc_ = jax.lax.dynamic_update_slice(
+                    kc_, kr.astype(kc_.dtype), (0, pos, 0))
+                vc_ = jax.lax.dynamic_update_slice(
+                    vc_, vr.astype(vc_.dtype), (0, pos, 0))
+                return (kc_, vc_, pos + 2, kk), jnp.sum(x) + tok[0]
+            return jax.lax.scan(
+                body, (kc, vc, jnp.int32(64), jax.random.PRNGKey(8)), xs)
+
+        lmst = fs.lm.decode
+        if lmst.k_cache.ndim == 4:  # flat (L, B, S, H*D)
+            x2_feed = jax.device_put(jnp.asarray(
+                rng.standard_normal((K, 2, cfg.arvc.decoder.dim)),
+                jnp.bfloat16), tpu)
+            jobs["lm_slow_kern"] = (
+                scalarize(scan_slow_kern,
+                          lambda o: o[1][-1].astype(jnp.float32)),
+                (lm_params["layers"], lm_params["norm"]["w"],
+                 lm_params["output"]["w"], lmst.k_cache[:, 0],
+                 lmst.v_cache[:, 0], x2_feed))
+    if args.pallas_fast:
+        from streamvoiceanon_tpu.ops.pallas_fast_decode import fast_decode
+        dcfg = cfg.arvc.decoder
+        lm_params = cv.arvc_params["model"]
+
+        def scan_fast_kern(fl, fn, fo, fe, xs):
+            def body(kk, hid):
+                kk, sub = jax.random.split(kk)
+                codes = fast_decode(
+                    fl, fn, fo, fe, hid, sub,
+                    nq=dcfg.num_codebooks, n_head=dcfg.fast_n_head,
+                    head_dim=dcfg.fast_head_dim, vocab=dcfg.codebook_size,
+                    rope_base=dcfg.rope_base, norm_eps=dcfg.norm_eps,
+                    temperature=sess.sampling.temperature,
+                    top_p=sess.sampling.top_p, greedy=sess.sampling.greedy)
+                return kk, jnp.sum(codes)
+            return jax.lax.scan(body, jax.random.PRNGKey(9), xs)
+
+        hid_feed = jax.device_put(jnp.asarray(
+            rng.standard_normal((K, 1, dcfg.fast_dim)), jnp.bfloat16), tpu)
+        jobs["lm_fast_kern"] = (
+            scalarize(scan_fast_kern, lambda o: o[1][-1].astype(jnp.float32)),
+            (lm_params["fast_layers"], lm_params["fast_norm"]["w"],
+             lm_params["fast_output"]["w"], lm_params["fast_embeddings"],
+             hid_feed))
     if not args.pallas_wt:
         jobs.pop("wt_kern", None)  # needs the flat ring layout
     for u in unrolls[1:]:

@@ -304,6 +304,12 @@ def save_result_summary(out_path: Path, results: Dict) -> None:
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "w") as f:
         f.write(f"---- Time: {datetime.today().strftime('%d-%m-%y_%H:%M')} ----\n")
+        f.write(
+            "NOTE: metrics are comparable across systems evaluated under this\n"
+            "harness.  They are only comparable to published VPC2024 numbers\n"
+            "when the evaluation models (ASV_eval / ASR_eval) are loaded from\n"
+            "the published checkpoints rather than trained in-framework.\n"
+        )
         if "ser" in results:
             f.write("\n---- SER results ----\n")
             f.write(results["ser"].sort_values(by=["dataset", "split"]).to_string())

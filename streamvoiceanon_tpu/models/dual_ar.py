@@ -603,17 +603,24 @@ def decode_frame(
     Equivalent to decode_one_token_ar on a 2-token window
     (dual_ar_stream.py:1168-1219)."""
     B = emb2.shape[0]
+    k_sem, k_fast = jax.random.split(key)
     if (
         cfg.use_pallas_slow_decode
         and B == 1
         and cfg.n_local_heads == cfg.n_head
+        and not cfg.tie_word_embeddings
+        and "b" not in params.get("output", {"b": None})
     ):
-        x2, k_rows, v_rows = slow_decode_step(
+        # kernel runs layers + final norm + output head + exact full-vocab
+        # nucleus sampling (top_k_window=0 semantics) in one invocation
+        x2, k_rows, v_rows, semantic = slow_decode_step(
             params["layers"], emb2[0], state.k_cache[:, 0], state.v_cache[:, 0],
-            state.pos,
+            state.pos, params["norm"]["w"], params["output"]["w"], k_sem,
             n_head=cfg.n_head, head_dim=cfg.head_dim,
             max_seq_len=cfg.max_seq_len, rope_base=cfg.rope_base,
-            norm_eps=cfg.norm_eps, interpret=_pallas_interpret(),
+            norm_eps=cfg.norm_eps, temperature=sampling.temperature,
+            top_p=sampling.top_p, greedy=sampling.greedy,
+            interpret=_pallas_interpret(),
         )
         # fold the 2 fresh rows into the donated caches in place — the kernel
         # reads the caches but never writes them back whole
@@ -625,7 +632,8 @@ def decode_frame(
             state.v_cache, v_rows[:, None].astype(state.v_cache.dtype),
             (0, 0, state.pos, 0),
         )
-        x, caches = x2[None], (k_cache, v_cache)
+        last = x2[None, -1:]
+        caches = (k_cache, v_cache)
     else:
         positions = state.pos + jnp.arange(2)
         freqs = jnp.take(_freqs(cfg), positions, axis=0)
@@ -636,15 +644,14 @@ def decode_frame(
             state.pos, cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
             use_pallas=cfg.use_pallas_decode, unroll=cfg.decode_layer_unroll,
         )
-    last = x[:, -1:]
-    logits = _token_logits(params, cfg, last)[:, -1]  # (B, vocab)
-    k_sem, k_fast = jax.random.split(key)
-    semantic = jax.vmap(
-        lambda kk, lg: sample_token(
-            kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
-            greedy=sampling.greedy, top_k_window=sampling.top_k_window,
-        )
-    )(jax.random.split(k_sem, B), logits)
+        last = x[:, -1:]
+        logits = _token_logits(params, cfg, last)[:, -1]  # (B, vocab)
+        semantic = jax.vmap(
+            lambda kk, lg: sample_token(
+                kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
+                greedy=sampling.greedy, top_k_window=sampling.top_k_window,
+            )
+        )(jax.random.split(k_sem, B), logits)
     hidden = _project_fast(params, last)
     codes = _fast_decode(params, cfg, hidden, k_fast, sampling)
     new_state = DecodeState(caches[0], caches[1], state.pos + 2)

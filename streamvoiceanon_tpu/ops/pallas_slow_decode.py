@@ -27,7 +27,13 @@ the streaming floor.  Design points:
   path, and both parts share one max/denominator so the softmax is exact;
 * RoPE uses the pair-rotation-matrix formulation (bit-exact vs
   ops/rope.apply_rope in f32) with cos/sin rows for (pos, pos+1) sliced
-  outside the kernel.
+  outside the kernel;
+* the final-norm + output-head matmul + exact full-vocab nucleus sampling
+  of the semantic token run in the LAST grid step (same bisection-threshold
+  + pre-generated-Gumbel-race sampler as ops/pallas_fast_decode.py), so the
+  per-frame XLA glue shrinks to the cache fold + the fast kernel.  The
+  in-kernel sampler is the reference's exact filter (top_k_window=0
+  semantics, dual_ar_stream.py:1099-1132).
 
 Scope: batch 1, MHA (n_local_heads == n_head) — the streaming hot path.
 Everything else falls back to the XLA scan.
@@ -92,9 +98,13 @@ def _slow_step_kernel(
     fnorm_ref,  # (L, dim)
     kc_ref,  # (1, S, dim) cache dtype — read-only past
     vc_ref,  # (1, S, dim)
+    onorm_ref,  # (1, dim) — final norm, resident (constant index map)
+    wout_ref,  # (dim, V) — output head, resident
+    gum_ref,  # (1, V) f32 — pre-generated Gumbel race row
     xo_ref,  # out: (2, dim) weight dtype
     kr_ref,  # out: (1, 2, dim) cache dtype — fresh K rows (roped)
     vr_ref,  # out: (1, 2, dim)
+    tok_ref,  # out: (1, 1) int32 — sampled semantic token
     xs_ref,  # scratch: (2, dim) weight dtype — activation carried over layers
     *,
     n_layer: int,
@@ -102,6 +112,9 @@ def _slow_step_kernel(
     n_head: int,
     head_dim: int,
     norm_eps: float,
+    temperature: float,
+    top_p: float,
+    greedy: bool,
 ):
     f32 = jnp.float32
     l = pl.program_id(0)
@@ -201,6 +214,38 @@ def _slow_step_kernel(
     @pl.when(l == n_layer - 1)
     def _fin():
         xo_ref[...] = h
+        # --- final norm + output head + exact nucleus sampling -------------
+        V = wout_ref.shape[-1]
+        y = _rms(h[1:2], onorm_ref[...], norm_eps)
+        logits = _dot(y, wout_ref[...]).astype(f32)  # (1, V), wd-rounded
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+        if greedy:
+            race = logits
+        elif top_p < 1.0:
+            # reference filter (dual_ar_stream.py:1099-1132): keep the
+            # smallest descending-prob prefix with cum-prob <= top_p, found
+            # by 40-step bisection on the probability threshold
+            m = jnp.max(logits)
+            e = jnp.exp(logits - m)
+            probs = e / jnp.sum(e)
+
+            def bis(_, lohi):
+                lo, hi = lohi
+                mid = (lo + hi) * 0.5
+                kept = jnp.sum(jnp.where(probs > mid, probs, 0.0)) <= top_p
+                return (jnp.where(kept, lo, mid), jnp.where(kept, mid, hi))
+
+            lo, _ = jax.lax.fori_loop(
+                0, 40, bis, (jnp.float32(0.0), jnp.float32(1.0))
+            )
+            filtered = jnp.where(probs > lo, logits, _NEG_INF)
+            race = filtered / max(temperature, 1e-5) + gum_ref[...]
+        else:
+            race = logits / max(temperature, 1e-5) + gum_ref[...]
+        best = jnp.max(race)
+        tok_ref[0, 0] = jnp.min(
+            jnp.where(race == best, col, V)
+        ).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=8)
@@ -215,7 +260,8 @@ def _expanded_tables(max_seq: int, head_dim: int, n_head: int, rope_base: float)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_head", "head_dim", "max_seq_len", "rope_base", "norm_eps", "interpret",
+        "n_head", "head_dim", "max_seq_len", "rope_base", "norm_eps",
+        "temperature", "top_p", "greedy", "interpret",
     ),
 )
 def slow_decode_step(
@@ -224,22 +270,31 @@ def slow_decode_step(
     k_cache: jax.Array,  # (L, S, dim) flat cache, rows < pos valid
     v_cache: jax.Array,  # (L, S, dim)
     pos: jax.Array,  # scalar int32 — first cache slot these 2 tokens occupy
+    out_norm: jax.Array,  # (dim,) final norm weight
+    out_head: jax.Array,  # (dim, vocab) output-head weight
+    key: jax.Array,  # PRNG key for the semantic-token Gumbel race
     *,
     n_head: int,
     head_dim: int,
     max_seq_len: int,
     rope_base: float = 10000.0,
     norm_eps: float = 1e-5,
+    temperature: float = 0.7,
+    top_p: float = 0.7,
+    greedy: bool = False,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (x_out (2, dim), k_rows (L, 2, dim), v_rows (L, 2, dim)).
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (x_out (2, dim), k_rows (L, 2, dim), v_rows (L, 2, dim),
+    semantic (1,) int32).
 
-    Drop-in for models/dual_ar._run_layers on the 2-token decode step with a
-    flat (L, S, n_head*head_dim) cache; the caller folds k_rows/v_rows into
-    the cache at `pos` with one dynamic_update_slice."""
+    Drop-in for models/dual_ar._run_layers + _token_logits + sample_token
+    (top_k_window=0 exact semantics) on the 2-token decode step with a flat
+    (L, S, n_head*head_dim) cache; the caller folds k_rows/v_rows into the
+    cache at `pos` with one dynamic_update_slice."""
     L, dim, three_dim = layers["wqkv"]["w"].shape
     inter = layers["w1"]["w"].shape[-1]
     S = k_cache.shape[1]
+    vocab = out_head.shape[-1]
     cd = k_cache.dtype
     wd = layers["wqkv"]["w"].dtype
 
@@ -247,10 +302,20 @@ def slow_decode_step(
     cos2 = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos_np), pos, 2, axis=0)
     sin2 = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin_np), pos, 2, axis=0)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    # same key usage as decode_frame's XLA path:
+    # vmap(sample_token)(split(k_sem, 1), logits) -> gumbel(split(k_sem,1)[0])
+    gum = (
+        jnp.zeros((1, vocab), jnp.float32)
+        if greedy
+        else jax.random.gumbel(
+            jax.random.split(key, 1)[0], (1, vocab), jnp.float32
+        )
+    )
 
     kernel = functools.partial(
         _slow_step_kernel,
         n_layer=L, dim=dim, n_head=n_head, head_dim=head_dim, norm_eps=norm_eps,
+        temperature=temperature, top_p=top_p, greedy=greedy,
     )
 
     compiled = not interpret and pltpu is not None
@@ -274,11 +339,15 @@ def slow_decode_step(
         spec((L, dim), lambda l: (0, 0)),
         spec((1, S, dim), lambda l: (l, 0, 0)),
         spec((1, S, dim), lambda l: (l, 0, 0)),
+        spec((1, dim), lambda l: (0, 0)),
+        spec((dim, vocab), lambda l: (0, 0)),
+        spec((1, vocab), lambda l: (0, 0)),
     ]
     out_specs = (
         spec((2, dim), lambda l: (0, 0)),
         spec((1, 2, dim), lambda l: (l, 0, 0)),
         spec((1, 2, dim), lambda l: (l, 0, 0)),
+        spec((1, 1), lambda l: (0, 0)),
     )
     kwargs = {}
     if compiled:
@@ -289,7 +358,7 @@ def slow_decode_step(
     if pltpu is None:  # pragma: no cover — interpret-only environments
         raise RuntimeError("pallas tpu module unavailable")
 
-    x_out, k_rows, v_rows = pl.pallas_call(
+    x_out, k_rows, v_rows, tok = pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=in_specs,
@@ -298,6 +367,7 @@ def slow_decode_step(
             jax.ShapeDtypeStruct((2, dim), wd),
             jax.ShapeDtypeStruct((L, 2, dim), cd),
             jax.ShapeDtypeStruct((L, 2, dim), cd),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((2, dim), wd)],
         interpret=interpret,
@@ -316,5 +386,8 @@ def slow_decode_step(
         layers["ffn_norm"]["w"],
         k_cache,
         v_cache,
+        out_norm[None, :].astype(wd),
+        out_head.astype(wd),
+        gum,
     )
-    return x_out, k_rows, v_rows
+    return x_out, k_rows, v_rows, tok[0]

@@ -64,6 +64,38 @@ def test_decode_frame_slow_kernel_parity(rng):
     assert outs["xla"][4] == outs["pallas"][4]
 
 
+def test_decode_frame_slow_kernel_sampling_parity(rng):
+    """The in-kernel nucleus sampler (final norm + head + bisection filter +
+    Gumbel race) must reproduce the XLA path's sampled semantic tokens
+    token-for-token at top_k_window=0 (exact full-vocab semantics) with the
+    same key."""
+    base = _tiny()
+    cfg_p = _tiny(use_pallas_slow_decode=True)
+    params = dual_ar.prepare_params(dual_ar.random_params(jax.random.PRNGKey(1), base))
+    samp = C.SamplingConfig(temperature=0.9, top_p=0.7, greedy=False, top_k_window=0)
+    prompt = jnp.asarray(rng.standard_normal((1, 12, base.dim)).astype(np.float32))
+
+    outs = {}
+    for name, cfg in (("xla", base), ("pallas", cfg_p)):
+        state = dual_ar.init_state(cfg, batch=1, cache_dtype=jnp.float32)
+        state, _ = dual_ar.prefill(params, cfg, state, prompt, jnp.int32(9))
+        toks, all_codes = [], []
+        for i in range(6):
+            emb2 = jnp.asarray(
+                np.random.default_rng(500 + i)
+                .standard_normal((1, 2, base.dim))
+                .astype(np.float32)
+            )
+            key = jax.random.PRNGKey(100 + i)
+            state, tok, codes = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
+            toks.append(int(tok[0]))
+            all_codes.append(np.asarray(codes))
+        outs[name] = (toks, np.stack(all_codes))
+
+    assert outs["xla"][0] == outs["pallas"][0]
+    np.testing.assert_array_equal(outs["xla"][1], outs["pallas"][1])
+
+
 def test_slow_kernel_respects_stale_cache(rng):
     """Slots at and beyond pos must never be attended: poison them with huge
     values and check the step's outputs are unchanged."""
