@@ -79,23 +79,35 @@ def budget_left():
     return DEADLINE_S - (time.time() - T_START)
 
 
-def update_best(results):
-    """results: {M: (period_s, p50_latency_s)} — rebuild the headline dict."""
+def update_best(results, scan_results=None):
+    """results: {M: (period_s, p50_latency_s)} per-chunk-dispatch fetch
+    groups; scan_results: {G: (period_s, group_latency_s)} scan-dispatch
+    groups (one program dispatch + one fetch per G chunks).  Headline = the
+    lowest sustained period, labeled with its mode + latency."""
     global _best
+    m1 = results.get(1)
+    m1_txt = f"; M=1: RTF {m1[0]/FRAME_SECONDS:.2f} at {m1[1]*1e3:.0f}ms" if m1 else ""
+    candidates = []
     grouped = [m for m in results if m > 1]
     if grouped:
         bm = min(grouped, key=lambda m: results[m][0])
         period, lat = results[bm]
-        m1 = results.get(1)
-        m1_txt = f"; M=1: RTF {m1[0]/FRAME_SECONDS:.2f} at {m1[1]*1e3:.0f}ms" if m1 else ""
-        unit = (f"sustained chunk period / 46.44ms frame (device-concat fetch "
-                f"M={bm}, p50 delivery latency {lat*1e3:.0f}ms{m1_txt})")
-    elif 1 in results:
-        period, lat = results[1]
-        unit = (f"sustained chunk period / 46.44ms frame (M=1 per-chunk fetch, "
-                f"p50 delivery latency {lat*1e3:.0f}ms)")
-    else:
+        candidates.append((period, (
+            f"sustained chunk period / 46.44ms frame (device-concat fetch "
+            f"M={bm}, p50 delivery latency {lat*1e3:.0f}ms{m1_txt})")))
+    for g, (period, lat) in (scan_results or {}).items():
+        candidates.append((period, (
+            f"sustained chunk period / 46.44ms frame (scan-dispatch group "
+            f"G={g}: one program dispatch + one fetch per {g} chunks, group "
+            f"latency {lat*1e3:.0f}ms{m1_txt})")))
+    if not candidates and m1:
+        period, lat = m1
+        candidates = [(period, (
+            f"sustained chunk period / 46.44ms frame (M=1 per-chunk fetch, "
+            f"p50 delivery latency {lat*1e3:.0f}ms)"))]
+    if not candidates:
         return
+    period, unit = min(candidates, key=lambda c: c[0])
     rtf = period / FRAME_SECONDS
     with _best_lock:
         _best = {
@@ -285,6 +297,72 @@ def main():
         update_best(results)
         log(f"fetch group M={M}: period={period*1e3:.2f}ms "
             f"RTF={period/FRAME_SECONDS:.3f} p50 delivery latency={lat*1e3:.1f}ms")
+
+    # ---- phase 5b: scan-dispatch streaming groups ---------------------------
+    # One lax.scan program dispatch + one fetch per G chunks: the stream is
+    # processed in G-chunk groups with the session state carried across
+    # groups (genuine continuous streaming at G x 46.44 ms group latency).
+    # Strips the relay's ~3 ms per-program dispatch cost that the per-chunk
+    # M modes pay, at the price of added group latency — the same trade the
+    # reference's extra_frames/delay buffering makes (infer_arvc.py:443-470).
+    scan_results = {}
+    if budget_left() > 240:
+        try:
+            G = 16
+
+            def scan_group(tok_p, arvc_p, voc_p, fstate, chunks, key):
+                def body(carry, chunk):
+                    fs, kk = carry
+                    tstate, ring, toks = _encode_inc(
+                        tok_p, cfg_tpu, fs.tok, fs.tok_ring, chunk,
+                        sess._mel_consts)
+                    kk, sub = jax.random.split(kk)
+                    lm, cring, voc, wav = _decode_vocode_inc(
+                        arvc_p, voc_p, cfg_tpu, fs.lm, fs.code_ring, fs.voc,
+                        toks, sess.sampling, sub)
+                    fs = fs._replace(tok=tstate, tok_ring=ring, lm=lm,
+                                     code_ring=cring, voc=voc)
+                    return (fs, kk), wav
+
+                (fs2, _), wavs = jax.lax.scan(body, (fstate, key), chunks)
+                return fs2, wavs
+
+            group_jit = jax.jit(scan_group)
+            groups_dev = [
+                jax.device_put(jnp.asarray(
+                    rng.standard_normal((G, 1, spf)) * 0.1, jnp.float32),
+                    tpu_dev)
+                for _ in range(4)
+            ]
+            pp = (cv_tpu.tokenizer_params, cv_tpu.arvc_params,
+                  cv_tpu.vocoder_params)
+            t0 = time.time()
+            fs_c, wavs = group_jit(*pp, sess.fstate, groups_dev[0],
+                                   jax.random.PRNGKey(11))
+            np.asarray(wavs)
+            log(f"scan-group x{G}: compile+first run {time.time()-t0:.1f}s")
+            best_p = float("inf")
+            for _pass in range(2):
+                if budget_left() < 60:
+                    break
+                fs_c = sess.fstate
+                t0 = time.perf_counter()
+                for g, chunks_g in enumerate(groups_dev):
+                    fs_c, wavs = group_jit(
+                        *pp, fs_c, chunks_g, jax.random.fold_in(
+                            jax.random.PRNGKey(11), g))
+                    np.asarray(wavs)  # deliver the group
+                wall = time.perf_counter() - t0
+                best_p = min(best_p, wall / (len(groups_dev) * G))
+            group_lat = best_p * G + (G - 1) * FRAME_SECONDS
+            scan_results[G] = (best_p, group_lat)
+            update_best(results, scan_results)
+            log(f"scan group G={G}: period={best_p*1e3:.2f}ms "
+                f"RTF={best_p/FRAME_SECONDS:.3f} group latency="
+                f"{group_lat*1e3:.0f}ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"scan-group phase failed ({type(e).__name__}: {e}) — "
+                f"keeping M-mode result")
 
     # ---- phase 6: device-bound floor (relay-free evidence) -----------------
     # K chunks chained inside ONE jitted lax.scan: a single dispatch + fetch

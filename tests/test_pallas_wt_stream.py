@@ -103,6 +103,49 @@ def test_flat_ring_batched_fallback(rng):
     np.testing.assert_allclose(res["flat"], res["ref"], atol=1e-5, rtol=1e-5)
 
 
+def test_transfer_tpu_optimized_end_to_end(rng):
+    """bench.py's production flow: prep a session on the plain config, then
+    transfer to a tpu_optimized() converter (Pallas fast+slow decode + WT
+    ring kernel, flat layouts) and continue — decoded audio must match the
+    plain path."""
+    from streamvoiceanon_tpu.config import SamplingConfig, tpu_optimized
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+    from streamvoiceanon_tpu.utils.tiny import tiny_converter
+
+    cv = tiny_converter(seed=0)
+    cv_opt = VoiceConverter(
+        cfg=tpu_optimized(cv.cfg), tokenizer_params=cv.tokenizer_params,
+        vocoder_params=cv.vocoder_params, arvc_params=cv.arvc_params)
+    spf = cv.cfg.samples_per_frame
+    rng2 = np.random.default_rng(7)
+    ref = jnp.asarray(rng2.standard_normal((1, 8 * spf)) * 0.1, jnp.float32)
+    src = (np.random.default_rng(8).standard_normal(10 * spf) * 0.1).astype(np.float32)
+
+    def make_sess(conv):
+        return StreamSession(
+            conv, conv.cfg.stream, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(greedy=True),
+            style=jnp.asarray(rng2.standard_normal((1, conv.cfg.arvc.style_dim)), jnp.float32),
+            timbre=jnp.asarray(rng2.standard_normal((1, 32, conv.cfg.arvc.context_dim)), jnp.float32),
+            ref_tokens=cv.content_tokens(ref), ref_codes=cv.audio_codes(ref))
+
+    sess_ref = make_sess(cv)
+    ref_outs = [sess_ref.process_chunk(src[i * spf:(i + 1) * spf]) for i in range(10)]
+
+    sess = make_sess(cv)
+    outs = [sess.process_chunk(src[i * spf:(i + 1) * spf]) for i in range(6)]
+    sess = sess.transfer(cv_opt, jax.devices("cpu")[0])
+    assert sess.fstate.lm.decode.k_cache.ndim == 4  # flat LM cache
+    assert sess.fstate.tok.ring.k_ring.ndim == 4  # flat WT ring
+    for i in range(6, 10):
+        outs.append(sess.process_chunk(src[i * spf:(i + 1) * spf]))
+
+    ref_cat = np.concatenate([np.asarray(o).ravel() for o in ref_outs])
+    got_cat = np.concatenate([np.asarray(o).ravel() for o in outs])
+    np.testing.assert_allclose(got_cat, ref_cat, atol=1e-5, rtol=1e-5)
+
+
 def test_transfer_migrates_ring_layout(rng):
     """StreamSession.transfer re-lays-out the tokenizer ring when the target
     converter enables use_pallas_stream, with no change in decoded audio."""
