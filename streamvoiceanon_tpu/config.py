@@ -87,10 +87,14 @@ class WindowedTransformerConfig:
     conv_kernel_size: int = 5
     # Run the streaming ring step (one new token through all layers) in one
     # grid-pipelined Pallas kernel (ops/pallas_wt_stream.py).  Changes the
-    # RingState layout to flat (L, B, W, n_head*head_dim) rows.  Batch-1,
-    # dw_conv-off decode only; other cases fall back to the XLA scan on the
-    # same layout.
+    # RingState layout to flat circular absolute-rope (L, B, W,
+    # n_head*head_dim) rows.  Batch > 1 uses an XLA step with the same
+    # circular semantics; dw_conv keeps the rotated-frame layout.
     use_pallas_stream: bool = False
+    # rope-table rows for the circular layout: effective positions live in
+    # [W, rope_table_rows); the ring is re-based (one elementwise rotation)
+    # every rope_table_rows - window_size tokens.  Must be > 2 * window_size.
+    rope_table_rows: int = 4096
 
 
 @dataclass(frozen=True)

@@ -154,9 +154,10 @@ def _rotate_pairs(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def ring_init(cfg: WindowedTransformerConfig, batch: int = 1, dtype=jnp.float32) -> RingState:
     W = cfg.window_size
-    if cfg.use_pallas_stream:
-        # flat row layout consumed by ops/pallas_wt_stream (and by the XLA
-        # fallback via a reshape round-trip in transformer_stream_step)
+    if cfg.use_pallas_stream and not cfg.dw_conv:
+        # flat circular absolute-rope layout consumed by ops/pallas_wt_stream
+        # (kernel at batch 1, XLA circular step otherwise).  dw_conv keeps
+        # the rotated-frame layout — its LConv branch lives on that path.
         shape = (cfg.n_layer, batch, W, cfg.n_head * cfg.head_dim)
     else:
         shape = (cfg.n_layer, batch, cfg.n_head, W, cfg.head_dim)
@@ -171,31 +172,68 @@ def ring_init(cfg: WindowedTransformerConfig, batch: int = 1, dtype=jnp.float32)
 
 
 def convert_ring_layout(state: RingState, cfg: WindowedTransformerConfig) -> RingState:
-    """Re-layout a RingState to match cfg.use_pallas_stream: flat
-    (L, B, W, H*D) rows for the grid-pipelined kernel, per-head
-    (L, B, H, W, D) otherwise.  Used by StreamSession.transfer."""
+    """Re-layout a RingState to match cfg.use_pallas_stream.
+
+    Rotated-frame per-head (L, B, H, W, D) <-> circular absolute-rope flat
+    (L, B, W, H*D).  The two stores differ by a SINGLE rotation angle for
+    every valid slot — rotated-frame slot w holds token t = count-W+w at
+    angle t-(count-1), the circular store wants angle W+(t mod R)-R*(rebases
+    since t), and their difference telescopes to the constant
+    W + ((count-1) mod R) — plus a slot permutation (roll by count mod W).
+    Used by StreamSession.transfer."""
+    from streamvoiceanon_tpu.ops import pallas_wt_stream as pwt
+
     kr = state.k_ring
-    want_flat = cfg.use_pallas_stream
+    want_flat = cfg.use_pallas_stream and not cfg.dw_conv
+    cnt = state.count
     if want_flat and kr.ndim == 5:
         L, B, H, W, D = kr.shape
+        R = cfg.rope_table_rows - W
+        cos_np, sin_np = pwt._signed_tables(
+            cfg.rope_table_rows, cfg.head_dim, cfg.n_head, cfg.rope_base)
+        delta = W + ((cnt - 1) % R)
+        cosd = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos_np), delta, 1, 0)
+        sind = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin_np), delta, 1, 0)
 
         def to_flat(r):
             return jnp.swapaxes(r, 2, 3).reshape(L, B, W, H * D)
 
+        # rotated slot w holds token count-W+w -> circular slot (count+w)%W:
+        # roll the W axis right by (count % W)
+        shift = cnt % W
+        k = pwt._rope_rows(to_flat(state.k_ring), cosd, sind)
         return state._replace(
-            k_ring=to_flat(state.k_ring), v_ring=to_flat(state.v_ring)
+            k_ring=_roll_w(k, shift),
+            v_ring=_roll_w(to_flat(state.v_ring), shift),
         )
     if not want_flat and kr.ndim == 4:
         L, B, W, HD = kr.shape
         H, D = cfg.n_head, cfg.head_dim
+        R = cfg.rope_table_rows - W
+        cos_np, sin_np = pwt._signed_tables(
+            cfg.rope_table_rows, cfg.head_dim, cfg.n_head, cfg.rope_base)
+        delta = W + ((cnt - 1) % R)
+        cosd = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos_np), delta, 1, 0)
+        # inverse rotation: conjugate (negate the signed sin row)
+        sind = -jax.lax.dynamic_slice_in_dim(jnp.asarray(sin_np), delta, 1, 0)
 
         def to_headed(r):
             return jnp.swapaxes(r.reshape(L, B, W, H, D), 2, 3)
 
+        shift = cnt % W
+        k = pwt._rope_rows(_roll_w(state.k_ring, -shift), cosd, sind)
         return state._replace(
-            k_ring=to_headed(state.k_ring), v_ring=to_headed(state.v_ring)
+            k_ring=to_headed(k),
+            v_ring=to_headed(_roll_w(state.v_ring, -shift)),
         )
     return state
+
+
+def _roll_w(r: jax.Array, shift) -> jax.Array:
+    """Roll the W (axis -2) dimension by a traced shift."""
+    W = r.shape[-2]
+    idx = (jnp.arange(W) - shift) % W
+    return jnp.take(r, idx, axis=-2)
 
 
 def transformer_stream_step(
@@ -210,43 +248,34 @@ def transformer_stream_step(
     W = cfg.window_size
     flat = state.k_ring.ndim == 4  # (L, B, W, H*D) — use_pallas_stream layout
     if flat:
-        B = x.shape[0]
-        if B == 1 and not cfg.dw_conv and cfg.n_head * cfg.head_dim == cfg.dim:
-            from streamvoiceanon_tpu.ops.pallas_wt_stream import wt_stream_step
+        from streamvoiceanon_tpu.ops import pallas_wt_stream as pwt
 
-            h, k_ring, v_ring = wt_stream_step(
-                _stack_wt_layers(params), x[0], state.k_ring[:, 0],
+        B = x.shape[0]
+        k_in = pwt.maybe_rebase_ring(
+            state.k_ring, state.count,
+            head_dim=cfg.head_dim, n_head=cfg.n_head, rope_base=cfg.rope_base,
+            table_rows=cfg.rope_table_rows,
+        )
+        if B == 1 and cfg.n_head * cfg.head_dim == cfg.dim:
+            h, k_ring, v_ring = pwt.wt_stream_step(
+                _stack_wt_layers(params), x[0], k_in[:, 0],
                 state.v_ring[:, 0], state.count,
                 n_head=cfg.n_head, head_dim=cfg.head_dim,
                 rope_base=cfg.rope_base, norm_eps=cfg.norm_eps,
+                table_rows=cfg.rope_table_rows,
                 interpret=_pallas_interpret(),
             )
-            h = rms_norm(h[None], params["final_norm"]["w"], cfg.norm_eps)
-            return RingState(
-                k_ring[:, None], v_ring[:, None], state.count + 1,
-                state.conv_tail,
-            ), h
-        # fallback (batched / dw_conv): round-trip through the headed layout
-        L = state.k_ring.shape[0]
-
-        def to_headed(r):
-            return jnp.swapaxes(
-                r.reshape(L, B, W, cfg.n_head, cfg.head_dim), 2, 3
+            k_ring, v_ring = k_ring[:, None], v_ring[:, None]
+            h = h[None]
+        else:  # batched: same circular semantics in XLA
+            h, k_ring, v_ring = pwt.circular_stream_step_xla(
+                _stack_wt_layers(params), x, k_in, state.v_ring, state.count,
+                n_head=cfg.n_head, head_dim=cfg.head_dim,
+                rope_base=cfg.rope_base, norm_eps=cfg.norm_eps,
+                table_rows=cfg.rope_table_rows,
             )
-
-        headed = state._replace(
-            k_ring=to_headed(state.k_ring), v_ring=to_headed(state.v_ring)
-        )
-        new, h = transformer_stream_step(params, cfg, headed, x)
-
-        def to_flat(r):
-            return jnp.swapaxes(r, 2, 3).reshape(
-                L, B, W, cfg.n_head * cfg.head_dim
-            )
-
-        return new._replace(
-            k_ring=to_flat(new.k_ring), v_ring=to_flat(new.v_ring)
-        ), h
+        h = rms_norm(h, params["final_norm"]["w"], cfg.norm_eps)
+        return RingState(k_ring, v_ring, state.count + 1, state.conv_tail), h
     unit = jnp.asarray(_unit_rotation(cfg.head_dim, cfg.rope_base))
     cos, sin = unit[None, None, None, :, 0], unit[None, None, None, :, 1]
     age = W - 1 - jnp.arange(W)  # slot W-1 is the newest

@@ -22,9 +22,10 @@ def _wt_cfg(**kw):
 
 
 def test_transformer_stream_step_kernel_parity(rng):
-    """Token-by-token outputs and rings must match the XLA rotated-ring path
-    exactly (fp tolerance), including past the window length where the
-    rotation+shift path dominates."""
+    """Token-by-token outputs must match the XLA rotated-ring path exactly
+    (fp tolerance), including past the window length; the final circular
+    ring, converted back to the rotated-frame layout, must equal the XLA
+    ring (valid slots)."""
     base = _wt_cfg()
     cfg_p = _wt_cfg(use_pallas_stream=True)
     params = windowed_transformer.init(jax.random.PRNGKey(0), base)
@@ -51,13 +52,36 @@ def test_transformer_stream_step_kernel_parity(rng):
         np.concatenate(outs["pallas"]), np.concatenate(outs["xla"]),
         atol=1e-5, rtol=1e-5,
     )
-    # rings in a layout-independent (L, H, W, D) form
-    kf = states["pallas"].k_ring[:, 0]
-    L, W, HD = kf.shape
-    kf = np.swapaxes(np.asarray(kf).reshape(L, W, base.n_head, base.head_dim), 1, 2)
+    # circular absolute-rope ring -> rotated-frame layout must match XLA
+    back = tokenizer_stream.convert_ring_layout(states["pallas"], base)
     np.testing.assert_allclose(
-        kf, np.asarray(states["xla"].k_ring[:, 0]), atol=1e-5, rtol=1e-5)
+        np.asarray(back.k_ring), np.asarray(states["xla"].k_ring),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(back.v_ring), np.asarray(states["xla"].v_ring),
+        atol=1e-6, rtol=1e-6)
     assert int(states["pallas"].count) == int(states["xla"].count)
+
+
+def test_circular_ring_rebase_exact(rng):
+    """Streaming far past the rebase period must stay equal to the rotated
+    XLA path — exercises maybe_rebase_ring multiple times (tiny table:
+    W=8, R=8 -> a rebase every 8 tokens)."""
+    base = _wt_cfg()
+    cfg_p = _wt_cfg(use_pallas_stream=True, rope_table_rows=16)
+    params = windowed_transformer.init(jax.random.PRNGKey(2), base)
+    st_x = tokenizer_stream.ring_init(base, 1)
+    st_p = tokenizer_stream.ring_init(cfg_p, 1)
+    n_tok = 30  # > 3 rebase periods
+    xs = rng.standard_normal((n_tok, 1, 1, base.dim)).astype(np.float32)
+    for t in range(n_tok):
+        st_x, hx = tokenizer_stream.transformer_stream_step(
+            params, base, st_x, jnp.asarray(xs[t]))
+        st_p, hp = tokenizer_stream.transformer_stream_step(
+            params, cfg_p, st_p, jnp.asarray(xs[t]))
+        np.testing.assert_allclose(
+            np.asarray(hp), np.asarray(hx), atol=1e-5, rtol=1e-5,
+            err_msg=f"token {t}")
 
 
 def test_encode_stream_kernel_token_exact(rng):
