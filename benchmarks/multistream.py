@@ -22,15 +22,24 @@ def main():
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--chunks", type=int, default=64)
+    ap.add_argument("--tpu-opt", action="store_true",
+                    help="use config.tpu_optimized flat state layouts: the "
+                         "batched tokenizer runs the circular absolute-rope "
+                         "ring step (no per-token full-ring rewrite, which "
+                         "scales with batch); the B=1-only kernels fall back "
+                         "to XLA on the same layouts")
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
     from bench import build_converter
-    from streamvoiceanon_tpu.config import SamplingConfig
+    from streamvoiceanon_tpu.config import SamplingConfig, tpu_optimized
     from streamvoiceanon_tpu.runtime.streaming import StreamSession
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cv = build_converter(jax.random.PRNGKey(0))
+    if args.tpu_opt:
+        from dataclasses import replace as _drep
+        cv = _drep(cv, cfg=tpu_optimized(cv.cfg))
     B = args.streams
     rng = np.random.default_rng(0)
     spf = cv.cfg.samples_per_frame
