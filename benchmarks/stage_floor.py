@@ -310,11 +310,11 @@ def main():
         dcfg = cfg.arvc.decoder
         lm_params = cv.arvc_params["model"]
 
-        def scan_fast_kern(fl, fn, fo, fe, xs):
+        def scan_fast_kern(fl, fn, fo, fe, cbe, xs):
             def body(kk, hid):
                 kk, sub = jax.random.split(kk)
-                codes = fast_decode(
-                    fl, fn, fo, fe, hid, sub,
+                codes, _ = fast_decode(
+                    fl, fn, fo, fe, cbe, hid, sub,
                     nq=dcfg.num_codebooks, n_head=dcfg.fast_n_head,
                     head_dim=dcfg.fast_head_dim, vocab=dcfg.codebook_size,
                     rope_base=dcfg.rope_base, norm_eps=dcfg.norm_eps,
@@ -329,7 +329,7 @@ def main():
             scalarize(scan_fast_kern, lambda o: o[1][-1].astype(jnp.float32)),
             (lm_params["fast_layers"], lm_params["fast_norm"]["w"],
              lm_params["fast_output"]["w"], lm_params["fast_embeddings"],
-             hid_feed))
+             lm_params["codebook_embeddings"], hid_feed))
     if not args.pallas_wt:
         jobs.pop("wt_kern", None)  # needs the flat ring layout
     for u in unrolls[1:]:

@@ -107,23 +107,23 @@ def generate(
     k_sem, k_fast = jax.random.split(k0)
     _ = k_sem  # semantic sample of the prefill frame is discarded (VC path)
     hidden = dual_ar._project_fast(params["model"], last_hidden)
-    first_codes = dual_ar._fast_decode(params["model"], dcfg, hidden, k_fast, sampling)
+    first_codes, first_emb = dual_ar._fast_decode(
+        params["model"], dcfg, hidden, k_fast, sampling)
+    if first_emb is None:
+        first_emb = dual_ar.embed_codes(params["model"], dcfg, first_codes[:, :, None])
 
     def step(carry, inp):
-        state, prev_codes, key = carry
+        state, audio_emb, key = carry
         cond_t = inp
         key, sub = jax.random.split(key)
-        audio_emb = dual_ar.embed_codes(
-            params["model"], dcfg, prev_codes[:, :, None]
-        )  # (B,1,D)
         emb2 = jnp.concatenate([audio_emb, cond_t[:, None]], axis=1)
-        state, _, codes = dual_ar.decode_frame(
+        state, _, codes, audio_emb = dual_ar.decode_frame(
             params["model"], dcfg, state, emb2, sub, sampling
         )
-        return (state, codes, key), codes
+        return (state, audio_emb, key), codes
 
     xs = jnp.swapaxes(remaining[:, 1:], 0, 1)  # (Ts-1, B, D)
-    (_, _, _), frames = jax.lax.scan(step, (state, first_codes, key), xs)
+    (_, _, _), frames = jax.lax.scan(step, (state, first_emb, key), xs)
     all_codes = jnp.concatenate(
         [first_codes[None], frames], axis=0
     )  # (Ts, B, nq)
@@ -239,8 +239,7 @@ def decode_one(
     dcfg = cfg.decoder
     cond = embed_content(params, src_content_1[:, 0])[:, None]
     emb2 = jnp.concatenate([state.audio_emb, cond], axis=1)
-    d, _, codes = dual_ar.decode_frame(
+    d, _, codes, audio_emb = dual_ar.decode_frame(
         params["model"], dcfg, state.decode, emb2, key, sampling
     )
-    audio_emb = dual_ar.embed_codes(params["model"], dcfg, codes[:, :, None])
     return ARVCState(d, audio_emb, state.ref_tail_emb), codes

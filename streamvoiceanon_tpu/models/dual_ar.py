@@ -420,11 +420,12 @@ def _fast_decode(
     from HBM once per frame instead of once per codebook step."""
     B = hidden.shape[0]
     if cfg.use_pallas_fast_decode and B == 1 and cfg.fast_n_local_heads == cfg.fast_n_head:
-        return pallas_fast_decode(
+        codes, aemb = pallas_fast_decode(
             params["fast_layers"],
             params["fast_norm"]["w"],
             params["fast_output"]["w"],
             params["fast_embeddings"],
+            params["codebook_embeddings"],
             hidden[:, 0, :],
             key,
             nq=cfg.num_codebooks,
@@ -438,6 +439,7 @@ def _fast_decode(
             greedy=sampling.greedy,
             interpret=_pallas_interpret(),
         )
+        return codes, aemb[:, None].astype(params["codebook_embeddings"].dtype)
     nq = cfg.num_codebooks
     shape = (cfg.n_fast_layer, B, cfg.fast_n_local_heads, nq, cfg.fast_head_dim)
     fast_freqs_all = jnp.asarray(
@@ -472,7 +474,7 @@ def _fast_decode(
         jnp.int32(0),
     )
     _, codes = jax.lax.scan(step, init, jax.random.split(key, nq))
-    return jnp.swapaxes(codes, 0, 1)  # (B, nq)
+    return jnp.swapaxes(codes, 0, 1), None  # (B, nq), no fused embedding
 
 
 def _project_fast(params: Dict, hidden: jax.Array) -> jax.Array:
@@ -596,8 +598,12 @@ def decode_frame(
     emb2: jax.Array,  # (B, 2, dim): [new_audio_emb, new_cond_emb]
     key: jax.Array,
     sampling: SamplingConfig,
-) -> Tuple[DecodeState, jax.Array, jax.Array]:
+) -> Tuple[DecodeState, jax.Array, jax.Array, jax.Array]:
     """One 2-token slow step + fast codebook loop.
+
+    Returns (state', semantic (B,), codes (B, nq), audio_emb (B, 1, dim)) —
+    audio_emb is the next frame's summed codebook embedding (embed_codes),
+    computed in-kernel on the Pallas fast path.
 
     Returns (state', semantic_token (B,), codes (B, num_codebooks)).
     Equivalent to decode_one_token_ar on a 2-token window
@@ -653,6 +659,8 @@ def decode_frame(
             )
         )(jax.random.split(k_sem, B), logits)
     hidden = _project_fast(params, last)
-    codes = _fast_decode(params, cfg, hidden, k_fast, sampling)
+    codes, audio_emb = _fast_decode(params, cfg, hidden, k_fast, sampling)
+    if audio_emb is None:
+        audio_emb = embed_codes(params, cfg, codes[:, :, None])
     new_state = DecodeState(caches[0], caches[1], state.pos + 2)
-    return new_state, semantic, codes
+    return new_state, semantic, codes, audio_emb

@@ -96,9 +96,11 @@ def _fast_decode_kernel(
     outnorm_ref,  # (1, dim)
     wout_ref,  # (dim, Vp)
     emb_ref,  # (Vp, dim)
+    cbemb_ref,  # (nq, Vp, dim) — next-frame codebook-embedding table
     cos_ref,  # (nq, dim) f32 — per-position cos, pair-expanded + head-tiled
     sin_ref,  # (nq, dim) f32
     codes_ref,  # out: (1, nq) int32
+    aemb_ref,  # out: (1, dim) — sum of the sampled codes' embeddings
     kc_ref,  # scratch: (L, nq, dim)
     vc_ref,  # scratch: (L, nq, dim)
     *,
@@ -228,6 +230,13 @@ def _fast_decode_kernel(
         onehot = (col == code).astype(wd)  # (1, Vp)
         x = _dot(onehot, emb_ref[...])  # (1, dim)
 
+        # next-frame audio embedding: sum of per-codebook rows
+        # (models/dual_ar.embed_codes, reference dual_ar_stream.py:245-255)
+        contrib = _dot(onehot, cbemb_ref[s])  # (1, dim)
+        aemb = contrib if s == 0 else aemb + contrib
+
+    aemb_ref[...] = aemb
+
 
 def _expand_cos_sin(nq: int, head_dim: int, n_head: int, rope_base: float):
     """freqs_cis (nq, hd//2, 2) -> pair-expanded, head-tiled (nq, dim) f32."""
@@ -252,6 +261,7 @@ def fast_decode(
     fast_norm: jax.Array,  # (dim,)
     fast_output: jax.Array,  # (dim, vocab)
     fast_embeddings: jax.Array,  # (vocab, dim)
+    codebook_embeddings: jax.Array,  # (nq*vocab, model_dim) next-frame table
     hidden: jax.Array,  # (B, dim) — projected frame latent, weight dtype
     key: jax.Array,
     *,
@@ -265,11 +275,14 @@ def fast_decode(
     top_p: float = 0.7,
     greedy: bool = False,
     interpret: bool = False,
-) -> jax.Array:
-    """Returns codes (B, nq) int32.  Drop-in for models/dual_ar._fast_decode
-    with exact full-vocab nucleus sampling (the XLA scan path's
-    top_k_window=0 semantics).  Gumbel noise is drawn with the same key
-    structure as the scan path (split(key, nq), then split(k, B))."""
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (codes (B, nq) int32, audio_emb (B, model_dim)).
+
+    Drop-in for models/dual_ar._fast_decode + embed_codes: exact full-vocab
+    nucleus sampling (the XLA scan path's top_k_window=0 semantics) plus the
+    next frame's summed codebook embedding, so the per-frame XLA glue skips
+    the embedding gather.  Gumbel noise is drawn with the same key structure
+    as the scan path (split(key, nq), then split(k, B))."""
     B, dim = hidden.shape
     L = fast_layers["wqkv"]["w"].shape[0]
     inter = fast_layers["w1"]["w"].shape[-1]
@@ -290,6 +303,11 @@ def fast_decode(
     wd = fast_output.dtype
     wout = jnp.pad(fast_output, ((0, 0), (0, vp - vocab)))
     emb = jnp.pad(fast_embeddings, ((0, vp - vocab), (0, 0)))
+    mdim = codebook_embeddings.shape[-1]
+    cbemb = jnp.pad(
+        codebook_embeddings.reshape(nq, vocab, mdim),
+        ((0, 0), (0, vp - vocab), (0, 0)),
+    ).astype(wd)
     cos_np, sin_np = _expand_cos_sin(nq, head_dim, n_head, rope_base)
     cos = jnp.asarray(cos_np)
     sin = jnp.asarray(sin_np)
@@ -319,10 +337,14 @@ def fast_decode(
         spec((1, dim), lambda b: (0, 0)),
         spec((dim, vp), lambda b: (0, 0)),
         spec((vp, dim), lambda b: (0, 0)),
+        spec((nq, vp, mdim), lambda b: (0, 0, 0)),
         spec((nq, dim), lambda b: (0, 0)),
         spec((nq, dim), lambda b: (0, 0)),
     ]
-    out_specs = spec((1, nq), lambda b: (b, 0), smem=True)
+    out_specs = (
+        spec((1, nq), lambda b: (b, 0), smem=True),
+        spec((1, mdim), lambda b: (b, 0)),
+    )
 
     kwargs = {}
     if not interpret and pltpu is not None:
@@ -337,12 +359,15 @@ def fast_decode(
     if pltpu is None:  # pragma: no cover — interpret-only environments
         raise RuntimeError("pallas tpu module unavailable")
 
-    codes = pl.pallas_call(
+    codes, aemb = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=jax.ShapeDtypeStruct((B, nq), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nq), jnp.int32),
+            jax.ShapeDtypeStruct((B, mdim), wd),
+        ),
         scratch_shapes=scratch,
         interpret=interpret,
         **kwargs,
@@ -359,7 +384,8 @@ def fast_decode(
         fast_norm[None, :],
         wout,
         emb,
+        cbemb,
         cos,
         sin,
     )
-    return codes
+    return codes, aemb

@@ -83,7 +83,7 @@ def test_decode_frame_pallas_flag_parity(rng):
             emb2 = jnp.asarray(
                 np.random.default_rng(100 + i).standard_normal((1, 2, base.dim)).astype(np.float32)
             )
-            state, tok, codes = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
+            state, tok, codes, _ = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
             toks.append(int(tok[0]))
             all_codes.append(np.asarray(codes))
         outs[name] = (toks, np.stack(all_codes), np.asarray(hidden),
@@ -125,7 +125,7 @@ def test_decode_frame_unroll_parity(rng):
             emb2 = jnp.asarray(
                 np.random.default_rng(200 + i).standard_normal((1, 2, base.dim)).astype(np.float32)
             )
-            state, tok, codes = dual_ar.decode_frame(
+            state, tok, codes, _ = dual_ar.decode_frame(
                 params, cfg, state, emb2, jax.random.PRNGKey(2), samp)
             toks.append(int(tok[0]))
             all_codes.append(np.asarray(codes))

@@ -42,7 +42,7 @@ def run_kernel(cfg, params, hidden, key, **kw):
     return fast_decode(
         params["fast_layers"], params["fast_norm"]["w"],
         params["fast_output"]["w"], params["fast_embeddings"],
-        hidden, key,
+        params["codebook_embeddings"], hidden, key,
         nq=cfg.num_codebooks, n_head=cfg.fast_n_head,
         head_dim=cfg.fast_head_dim, vocab=cfg.codebook_size,
         rope_base=cfg.rope_base, norm_eps=cfg.norm_eps,
@@ -52,22 +52,26 @@ def run_kernel(cfg, params, hidden, key, **kw):
 
 def test_greedy_matches_xla_scan(setup):
     cfg, params, hidden = setup
-    ref = dual_ar._fast_decode(
+    ref, _ = dual_ar._fast_decode(
         params, cfg, hidden[:, None, :], jax.random.PRNGKey(2),
         SamplingConfig(greedy=True),
     )
-    got = run_kernel(cfg, params, hidden, jax.random.PRNGKey(2), greedy=True)
+    got, emb = run_kernel(cfg, params, hidden, jax.random.PRNGKey(2), greedy=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # fused next-frame embedding == embed_codes of the sampled codes
+    want = dual_ar.embed_codes(params, cfg, got[:, :, None])[:, 0]
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize("seed", [3, 4, 5, 7])
 def test_sampled_matches_xla_exact_nucleus(setup, seed):
     cfg, params, hidden = setup
     samp = SamplingConfig(greedy=False, top_k_window=0, temperature=0.7, top_p=0.7)
-    ref = dual_ar._fast_decode(
+    ref, _ = dual_ar._fast_decode(
         params, cfg, hidden[:, None, :], jax.random.PRNGKey(seed), samp
     )
-    got = run_kernel(
+    got, _ = run_kernel(
         cfg, params, hidden, jax.random.PRNGKey(seed),
         temperature=0.7, top_p=0.7, greedy=False,
     )
@@ -83,10 +87,10 @@ def test_sampled_flat_logits_nucleus_bisection(setup):
         * 1e-3
     )
     samp = SamplingConfig(greedy=False, top_k_window=0, temperature=1.5, top_p=0.9)
-    ref = dual_ar._fast_decode(
+    ref, _ = dual_ar._fast_decode(
         params, cfg, hidden[:, None, :], jax.random.PRNGKey(11), samp
     )
-    got = run_kernel(
+    got, _ = run_kernel(
         cfg, params, hidden, jax.random.PRNGKey(11),
         temperature=1.5, top_p=0.9, greedy=False,
     )
@@ -102,7 +106,7 @@ def test_decode_frame_flag_integration(setup):
     emb2 = jax.random.normal(jax.random.PRNGKey(20), (1, 2, cfg.dim), jnp.float32) * 0.1
     for c in (cfg, cfg_pl):
         state = dual_ar.init_state(c, batch=1, cache_dtype=jnp.float32)
-        st, sem, codes = dual_ar.decode_frame(
+        st, sem, codes, _ = dual_ar.decode_frame(
             params, c, state, emb2, jax.random.PRNGKey(21), samp
         )
         if c is cfg:
@@ -116,6 +120,6 @@ def test_batch_gt1_falls_back_to_scan(setup):
     cfg, params, hidden = setup
     cfg_pl = tiny_cfg(use_pallas_fast_decode=True)
     samp = SamplingConfig(greedy=True)
-    ref = dual_ar._fast_decode(params, cfg, hidden[:, None, :], jax.random.PRNGKey(2), samp)
-    got = dual_ar._fast_decode(params, cfg_pl, hidden[:, None, :], jax.random.PRNGKey(2), samp)
+    ref, _ = dual_ar._fast_decode(params, cfg, hidden[:, None, :], jax.random.PRNGKey(2), samp)
+    got, _ = dual_ar._fast_decode(params, cfg_pl, hidden[:, None, :], jax.random.PRNGKey(2), samp)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -43,7 +43,7 @@ def test_decode_frame_slow_kernel_parity(rng):
                 .standard_normal((1, 2, base.dim))
                 .astype(np.float32)
             )
-            state, tok, codes = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
+            state, tok, codes, _ = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
             toks.append(int(tok[0]))
             all_codes.append(np.asarray(codes))
         # compare caches in a layout-independent form: (L, H, S, D)
@@ -87,7 +87,7 @@ def test_decode_frame_slow_kernel_sampling_parity(rng):
                 .astype(np.float32)
             )
             key = jax.random.PRNGKey(100 + i)
-            state, tok, codes = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
+            state, tok, codes, _ = dual_ar.decode_frame(params, cfg, state, emb2, key, samp)
             toks.append(int(tok[0]))
             all_codes.append(np.asarray(codes))
         outs[name] = (toks, np.stack(all_codes))
@@ -107,7 +107,7 @@ def test_slow_kernel_respects_stale_cache(rng):
     state0, _ = dual_ar.prefill(params, cfg, state0, prompt, jnp.int32(7))
 
     emb2 = jnp.asarray(rng.standard_normal((1, 2, cfg.dim)).astype(np.float32))
-    _, tok_a, codes_a = dual_ar.decode_frame(
+    _, tok_a, codes_a, _ = dual_ar.decode_frame(
         params, cfg, state0, emb2, jax.random.PRNGKey(3), samp)
 
     pos = int(state0.pos)
@@ -115,7 +115,7 @@ def test_slow_kernel_respects_stale_cache(rng):
         k_cache=state0.k_cache.at[:, :, pos:].set(37.0),
         v_cache=state0.v_cache.at[:, :, pos:].set(-54.0),
     )
-    _, tok_b, codes_b = dual_ar.decode_frame(
+    _, tok_b, codes_b, _ = dual_ar.decode_frame(
         params, cfg, poisoned, emb2, jax.random.PRNGKey(3), samp)
     assert int(tok_a[0]) == int(tok_b[0])
     np.testing.assert_array_equal(np.asarray(codes_a), np.asarray(codes_b))
@@ -185,7 +185,7 @@ def test_flat_layout_batched_fallback(rng):
     for name, cfg in (("ref", base), ("flat", cfg_p)):
         state = dual_ar.init_state(cfg, batch=2, cache_dtype=jnp.float32)
         state, _ = dual_ar.prefill(params, cfg, state, prompt, jnp.int32(12))
-        _, tok, codes = dual_ar.decode_frame(
+        _, tok, codes, _ = dual_ar.decode_frame(
             params, cfg, state, emb2, jax.random.PRNGKey(5), samp)
         res[name] = (np.asarray(tok), np.asarray(codes))
 
