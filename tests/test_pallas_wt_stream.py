@@ -170,6 +170,43 @@ def test_transfer_tpu_optimized_end_to_end(rng):
     np.testing.assert_allclose(got_cat, ref_cat, atol=1e-5, rtol=1e-5)
 
 
+def test_batched_session_tpu_optimized(rng):
+    """A batch-3 StreamSession under tpu_optimized (flat layouts -> XLA
+    circular ring + flat-cache scan fallbacks) must match the plain config
+    chunk-for-chunk — the multistream serving path."""
+    from streamvoiceanon_tpu.config import SamplingConfig, tpu_optimized
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+    from streamvoiceanon_tpu.utils.tiny import tiny_converter
+
+    cv = tiny_converter(seed=0)
+    cv_opt = VoiceConverter(
+        cfg=tpu_optimized(cv.cfg), tokenizer_params=cv.tokenizer_params,
+        vocoder_params=cv.vocoder_params, arvc_params=cv.arvc_params)
+    B = 3
+    spf = cv.cfg.samples_per_frame
+    rng2 = np.random.default_rng(7)
+    ref = jnp.asarray(rng2.standard_normal((1, 8 * spf)) * 0.1, jnp.float32)
+    ref_tokens = jnp.repeat(cv.content_tokens(ref), B, 0)
+    ref_codes = jnp.repeat(cv.audio_codes(ref), B, 0)
+    style = jnp.asarray(rng2.standard_normal((B, cv.cfg.arvc.style_dim)), jnp.float32)
+    timbre = jnp.asarray(rng2.standard_normal((B, 32, cv.cfg.arvc.context_dim)), jnp.float32)
+    src = (np.random.default_rng(8).standard_normal((B, 8 * spf)) * 0.1).astype(np.float32)
+
+    outs = {}
+    for name, conv in (("plain", cv), ("opt", cv_opt)):
+        sess = StreamSession(
+            conv, conv.cfg.stream, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(greedy=True),
+            style=style, timbre=timbre,
+            ref_tokens=ref_tokens, ref_codes=ref_codes, batch=B)
+        outs[name] = np.concatenate([
+            np.asarray(sess.process_chunk(src[:, i * spf:(i + 1) * spf])).ravel()
+            for i in range(8)
+        ])
+    np.testing.assert_allclose(outs["opt"], outs["plain"], atol=1e-5, rtol=1e-5)
+
+
 def test_transfer_migrates_ring_layout(rng):
     """StreamSession.transfer re-lays-out the tokenizer ring when the target
     converter enables use_pallas_stream, with no change in decoded audio."""
