@@ -207,6 +207,43 @@ def test_batched_session_tpu_optimized(rng):
     np.testing.assert_allclose(outs["opt"], outs["plain"], atol=1e-5, rtol=1e-5)
 
 
+def test_refill_under_tpu_optimized(rng):
+    """Prompt refill (LM cache recycling) must keep producing audio equal to
+    the plain config when the flat layouts are active — refill re-prefills
+    through the flat-cache branch of the LM."""
+    from streamvoiceanon_tpu.config import SamplingConfig, StreamConfig, tpu_optimized
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+    from streamvoiceanon_tpu.utils.tiny import tiny_converter
+
+    cv = tiny_converter(seed=0)
+    cv_opt = VoiceConverter(
+        cfg=tpu_optimized(cv.cfg), tokenizer_params=cv.tokenizer_params,
+        vocoder_params=cv.vocoder_params, arvc_params=cv.arvc_params)
+    spf = cv.cfg.samples_per_frame
+    rng2 = np.random.default_rng(7)
+    ref = jnp.asarray(rng2.standard_normal((1, 6 * spf)) * 0.1, jnp.float32)
+    n = 14
+    src = (np.random.default_rng(8).standard_normal(n * spf) * 0.1).astype(np.float32)
+    scfg = StreamConfig(max_prompt_frames=8, max_seq_frames=24, buffer_frames=2,
+                        delay=1)
+
+    outs = {}
+    for name, conv in (("plain", cv), ("opt", cv_opt)):
+        sess = StreamSession(
+            conv, scfg, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(greedy=True),
+            style=jnp.asarray(rng2.standard_normal((1, conv.cfg.arvc.style_dim)), jnp.float32),
+            timbre=jnp.asarray(rng2.standard_normal((1, 32, conv.cfg.arvc.context_dim)), jnp.float32),
+            ref_tokens=cv.content_tokens(ref), ref_codes=cv.audio_codes(ref))
+        outs[name] = np.concatenate([
+            np.asarray(sess.process_chunk(src[i * spf:(i + 1) * spf])).ravel()
+            for i in range(n)
+        ])
+        assert sess._lm_pos_host // 2 < scfg.max_seq_frames + 8  # refilled
+    np.testing.assert_allclose(outs["opt"], outs["plain"], atol=1e-5, rtol=1e-5)
+
+
 def test_transfer_migrates_ring_layout(rng):
     """StreamSession.transfer re-lays-out the tokenizer ring when the target
     converter enables use_pallas_stream, with no change in decoded audio."""
