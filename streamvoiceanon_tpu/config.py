@@ -268,6 +268,11 @@ class HiFiGANConfig:
     pre_conv_kernel_size: int = 13
     post_conv_kernel_size: int = 13
     hop_length: int = 512
+    # Run the whole streaming head (conv_pre + 5 upsample/resblock stages +
+    # conv_post, ~100 convs) in one fused Pallas kernel
+    # (ops/pallas_hifigan.py).  Changes the streaming-state layout to packed
+    # per-stage tail buffers.  Batch-1 only; batched unpacks to the XLA path.
+    use_pallas_stream: bool = False
 
 
 @dataclass(frozen=True)

@@ -77,7 +77,16 @@ def hifigan_init(key, cfg: HiFiGANConfig, dtype=jnp.float32) -> Dict:
 
 def hifigan_init_stream(p: Dict, cfg: HiFiGANConfig, batch: int = 1,
                         dtype=jnp.float32) -> Dict:
-    """Streaming state: input tails for every conv / transposed conv."""
+    """Streaming state: input tails for every conv / transposed conv.
+
+    With cfg.use_pallas_stream (and the supported k == 2*stride upsample
+    geometry) the state is the fused kernel's PackedHeadState instead."""
+    if cfg.use_pallas_stream and all(
+        k == 2 * s for k, s in zip(cfg.upsample_kernel_sizes, cfg.upsample_rates)
+    ):
+        from streamvoiceanon_tpu.ops.pallas_hifigan import init_packed_state
+
+        return init_packed_state(cfg, batch, dtype)
 
     def cs(conv_p, dilation=1):
         k, cin, _ = conv_p["w"].shape
@@ -117,9 +126,28 @@ def resblock_apply_stream(p: Dict, state: Dict, x: jax.Array, dilations):
     return {"convs1": new1, "convs2": new2}, x
 
 
-def hifigan_apply_stream(p: Dict, cfg: HiFiGANConfig, state: Dict, x: jax.Array):
+def hifigan_apply_stream(p: Dict, cfg: HiFiGANConfig, state, x: jax.Array,
+                         packed_w=None):
     """Streaming form: (state, (B, T, num_mels)) -> (state', (B, T * hop)).
-    Exactly prefix-consistent with hifigan_apply (causal convs only)."""
+    Exactly prefix-consistent with hifigan_apply (causal convs only).
+
+    PackedHeadState routes through the fused Pallas kernel at batch 1
+    (pass `packed_w` = ops.pallas_hifigan.packed_weights(p, cfg), prepared
+    outside jit, to avoid re-packing weights in-program); batched input
+    unpacks to this XLA path and repacks."""
+    from streamvoiceanon_tpu.ops import pallas_hifigan as ph
+
+    if isinstance(state, ph.PackedHeadState):
+        if x.shape[0] == 1:
+            from streamvoiceanon_tpu.models.dual_ar import _pallas_interpret
+
+            pw = packed_w if packed_w is not None else ph.packed_weights(p, cfg)
+            return ph.head_stream_step(pw, state, x, cfg,
+                                       interpret=_pallas_interpret())
+        d = ph.unpack_head_state(state, cfg)
+        nd, wav = hifigan_apply_stream(p, cfg, d, x)
+        return ph.pack_head_state(nd, cfg), wav
+
     new_state: Dict = {"ups": [], "res": []}
     new_state["conv_pre"], x = convops.causal_conv1d_stream(
         state["conv_pre"], x, p["conv_pre"]["w"], p["conv_pre"]["b"]

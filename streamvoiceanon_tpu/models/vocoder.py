@@ -144,16 +144,36 @@ def init_stream_state(params: Dict, cfg: VocoderConfig, batch: int = 1,
     }
 
 
+def convert_head_layout(state: Dict, hcfg) -> Dict:
+    """Migrate the HiFiGAN head streaming state between the dict-of-tails
+    layout and the fused kernel's PackedHeadState, per hcfg.use_pallas_stream
+    (used by StreamSession.transfer)."""
+    from streamvoiceanon_tpu.ops import pallas_hifigan as ph
+
+    head = state["head"]
+    want_packed = hcfg.use_pallas_stream and all(
+        k == 2 * s for k, s in zip(hcfg.upsample_kernel_sizes, hcfg.upsample_rates)
+    )
+    if want_packed and not isinstance(head, ph.PackedHeadState):
+        return {**state, "head": ph.pack_head_state(head, hcfg)}
+    if not want_packed and isinstance(head, ph.PackedHeadState):
+        return {**state, "head": ph.unpack_head_state(head, hcfg)}
+    return state
+
+
 def decode_stream(params: Dict, cfg: VocoderConfig, state: Dict, codes: jax.Array):
     """Streaming decode: (state, codes (B, nq, k)) -> (state', wav (B, k*2048))."""
     from streamvoiceanon_tpu.models.convnext import convnext_block_apply_stream
     from streamvoiceanon_tpu.ops import conv as convops
 
     idx = jnp.swapaxes(codes, 1, 2)
+    head = state["head"]
+    head_dtype = (head.pre.dtype if hasattr(head, "pre")  # PackedHeadState
+                  else head["conv_pre"].tail.dtype)
     z = quantizers.grouped_residual_fsq_decode(
         params["fsq"], idx, cfg.quantizer.n_groups, cfg.quantizer.levels,
         cfg.quantizer.n_codebooks,
-    ).astype(state["head"]["conv_pre"].tail.dtype)
+    ).astype(head_dtype)
     new_up = []
     for stage, st, f in zip(params["upsample"], state["upsample"],
                             reversed(cfg.quantizer.downsample_factor)):
@@ -162,5 +182,7 @@ def decode_stream(params: Dict, cfg: VocoderConfig, state: Dict, codes: jax.Arra
         )
         bs, z = convnext_block_apply_stream(stage["block"], st["block"], z)
         new_up.append({"conv": cs, "block": bs})
-    hs, wav = hifigan.hifigan_apply_stream(params["head"], cfg.head, state["head"], z)
+    hs, wav = hifigan.hifigan_apply_stream(
+        params["head"], cfg.head, state["head"], z,
+        packed_w=params.get("head_packed"))
     return {"upsample": new_up, "head": hs}, wav

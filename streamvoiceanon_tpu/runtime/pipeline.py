@@ -45,6 +45,17 @@ class VoiceConverter:
     campplus_params: Optional[Dict] = None
     speaker_params: Optional[Dict] = None
 
+    def __post_init__(self):
+        # pre-pack the HiFiGAN head weights for the fused Pallas kernel
+        # OUTSIDE jit (re-packing in-program would copy ~40 MB per frame)
+        hcfg = self.cfg.vocoder.head
+        if hcfg.use_pallas_stream and "head_packed" not in self.vocoder_params:
+            from streamvoiceanon_tpu.ops.pallas_hifigan import packed_weights
+
+            vp = dict(self.vocoder_params)
+            vp["head_packed"] = packed_weights(vp["head"], hcfg)
+            self.vocoder_params = vp
+
     # ------------------------------------------------------------------
     # feature extraction
     # ------------------------------------------------------------------

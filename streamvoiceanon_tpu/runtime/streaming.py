@@ -272,6 +272,8 @@ class StreamSession:
                 lm=relayout(new.fstate.lm),
                 tok=new.fstate.tok._replace(ring=tokenizer_stream.convert_ring_layout(
                     new.fstate.tok.ring, converter.cfg.tokenizer.transformer)),
+                voc=vocoder.convert_head_layout(
+                    new.fstate.voc, converter.cfg.vocoder.head),
             )
         else:
             new.state = relayout(jax.tree.map(put, self.state))
