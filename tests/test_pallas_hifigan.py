@@ -4,6 +4,7 @@
 from dataclasses import replace as drep
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +86,7 @@ def test_batched_packed_falls_back(rng):
                                    atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_vocoder_stream_with_kernel(rng):
     """vocoder.decode_stream with the head flag must match the plain path
     sample-for-sample through the VoiceConverter plumbing (pre-packed

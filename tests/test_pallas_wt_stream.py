@@ -84,6 +84,7 @@ def test_circular_ring_rebase_exact(rng):
             err_msg=f"token {t}")
 
 
+@pytest.mark.slow
 def test_encode_stream_kernel_token_exact(rng):
     """encode_stream with the kernel-backed ring must stay token-exact vs the
     offline tokenizer (the same guarantee the XLA ring path has)."""
@@ -170,6 +171,7 @@ def test_transfer_tpu_optimized_end_to_end(rng):
     np.testing.assert_allclose(got_cat, ref_cat, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_session_tpu_optimized(rng):
     """A batch-3 StreamSession under tpu_optimized (flat layouts -> XLA
     circular ring + flat-cache scan fallbacks) must match the plain config
@@ -207,6 +209,7 @@ def test_batched_session_tpu_optimized(rng):
     np.testing.assert_allclose(outs["opt"], outs["plain"], atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_refill_under_tpu_optimized(rng):
     """Prompt refill (LM cache recycling) must keep producing audio equal to
     the plain config when the flat layouts are active — refill re-prefills
