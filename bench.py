@@ -193,58 +193,84 @@ def main():
             sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
     log(f"CPU prep (ref enc + prefill + {n_warm} warm chunks): {time.time()-t0:.1f}s")
 
-    # ---- phase 3: transfer to TPU ------------------------------------------
-    # The TPU program routes the 8-step codebook loop through the
-    # VMEM-resident Pallas fast decoder (weights stream from HBM once per
-    # frame, measured 2.18 -> 1.28 ms/chunk for the LM stage); CPU prep above
-    # ran the plain XLA scan — state pytrees are shape-identical.
-    cfg_tpu = tpu_optimized(cfg)
-    t0 = time.time()
-    cv_tpu = VoiceConverter(
-        cfg=cfg_tpu,
-        tokenizer_params=jax.device_put(tok_np, tpu_dev),
-        vocoder_params=jax.device_put(voc_np, tpu_dev),
-        arvc_params=jax.device_put(arvc_np, tpu_dev),
-    )
-    sess = sess.transfer(cv_tpu, tpu_dev)
-    sess.tokens_seen = n_warm  # host counters carry over via copy already
-    jax.block_until_ready(sess.fstate)
-    log(f"param+state transfer to TPU: {time.time()-t0:.1f}s")
+    # ---- phase 3+4: transfer to TPU + AOT compiles, with flag fallback -----
+    # The tpu_optimized program set routes the LM hot loops through the
+    # Pallas kernels; if a kernel fails to compile on this backend (new
+    # kernels land every round), fall back to a reduced flag set rather than
+    # losing the round's artifact.
+    from dataclasses import replace as _rep
 
-    # ---- phase 4: TPU compiles (the ONLY TPU compiles in the benchmark) ----
-    # AOT-compile the two per-chunk programs in parallel threads — compile is
-    # C++/IO-bound so threads overlap the remote-compile round trips.
     from streamvoiceanon_tpu.runtime.streaming import _decode_vocode_inc, _encode_inc
 
-    t0 = time.time()
-    fs = sess.fstate
+    sess_cpu = sess
     chunk_dev = jax.device_put(jnp.zeros((1, spf), jnp.float32), tpu_dev)
     toks_dev = jax.device_put(jnp.zeros((1, 1), jnp.int32), tpu_dev)
-    jobs = {
-        "encode_inc": lambda: _encode_inc.lower(
-            cv_tpu.tokenizer_params, cfg_tpu, fs.tok, fs.tok_ring, chunk_dev,
-            sess._mel_consts).compile(),
-        "decode_vocode_inc": lambda: _decode_vocode_inc.lower(
-            cv_tpu.arvc_params, cv_tpu.vocoder_params, cfg_tpu, fs.lm,
-            fs.code_ring, fs.voc, toks_dev, sess.sampling, sess.key).compile(),
-    }
-    # the concat compile is trivial but the FIRST program touch of a relay
-    # session can stall behind queued work (measured up to ~690 s on a
-    # degraded relay) — run it in the same parallel pool as the AOT compiles
+
+    def fast_only(c):
+        return _rep(c, arvc=_rep(c.arvc, decoder=_rep(
+            c.arvc.decoder, use_pallas_fast_decode=True)))
+
+    cv_tpu = sess = cfg_tpu = None
+    for label, cfg_try in (("tpu_optimized", tpu_optimized(cfg)),
+                           ("pallas_fast only", fast_only(cfg)),
+                           ("plain XLA", cfg)):
+        t0 = time.time()
+        try:
+            cv_try = VoiceConverter(
+                cfg=cfg_try,
+                tokenizer_params=jax.device_put(tok_np, tpu_dev),
+                vocoder_params=jax.device_put(voc_np, tpu_dev),
+                arvc_params=jax.device_put(arvc_np, tpu_dev),
+            )
+            s_try = sess_cpu.transfer(cv_try, tpu_dev)
+            s_try.tokens_seen = n_warm
+            jax.block_until_ready(s_try.fstate)
+            fs = s_try.fstate
+            # AOT-compile the two per-chunk programs in parallel threads —
+            # compile is C++/IO-bound so threads overlap the remote round
+            # trips; exceptions propagate so the fallback can engage
+            comp = {
+                "encode_inc": lambda: _encode_inc.lower(
+                    cv_try.tokenizer_params, cfg_try, fs.tok, fs.tok_ring,
+                    chunk_dev, s_try._mel_consts).compile(),
+                "decode_vocode_inc": lambda: _decode_vocode_inc.lower(
+                    cv_try.arvc_params, cv_try.vocoder_params, cfg_try, fs.lm,
+                    fs.code_ring, fs.voc, toks_dev, s_try.sampling,
+                    s_try.key).compile(),
+            }
+            errs = []
+            ths = []
+            for name, job in comp.items():
+                def run(name=name, job=job):
+                    ti = time.time()
+                    try:
+                        job()
+                        log(f"  AOT compile {name}: {time.time()-ti:.1f}s")
+                    except Exception as e:  # noqa: BLE001
+                        errs.append(e)
+                th = threading.Thread(target=run, daemon=True)
+                th.start()
+                ths.append(th)
+            for th in ths:
+                th.join()
+            if errs:
+                raise errs[0]
+            cv_tpu, sess, cfg_tpu = cv_try, s_try, cfg_try
+            log(f"program set '{label}' compiled: {time.time()-t0:.1f}s")
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"program set '{label}' FAILED ({type(e).__name__}: "
+                f"{str(e)[:200]}) — falling back")
+    if sess is None:
+        raise RuntimeError("no program set compiled")
+    fs = sess.fstate
+
+    # the concat program's FIRST touch of a relay session can stall behind
+    # queued work — warm it before measurements
+    t0 = time.time()
     cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=-1))
-    jobs["concat"] = lambda: np.asarray(cat([chunk_dev, chunk_dev]))
-    threads = []
-    for name, job in jobs.items():
-        def run(name=name, job=job):
-            ti = time.time()
-            job()
-            log(f"  AOT compile {name}: {time.time()-ti:.1f}s")
-        th = threading.Thread(target=run, daemon=True)
-        th.start()
-        threads.append(th)
-    for th in threads:
-        th.join()
-    log(f"TPU AOT compiles (parallel): {time.time()-t0:.1f}s")
+    np.asarray(cat([chunk_dev, chunk_dev]))
+    log(f"concat warm: {time.time()-t0:.1f}s")
 
     # warm-up: first real calls hit the (now-warm) compile caches
     t0 = time.time()
