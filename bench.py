@@ -210,8 +210,14 @@ def main():
         return _rep(c, arvc=_rep(c.arvc, decoder=_rep(
             c.arvc.decoder, use_pallas_fast_decode=True)))
 
+    def fast_slow(c):
+        return _rep(c, arvc=_rep(c.arvc, decoder=_rep(
+            c.arvc.decoder, use_pallas_fast_decode=True,
+            use_pallas_slow_decode=True)))
+
     cv_tpu = sess = cfg_tpu = None
     for label, cfg_try in (("tpu_optimized", tpu_optimized(cfg)),
+                           ("pallas fast+slow", fast_slow(cfg)),
                            ("pallas_fast only", fast_only(cfg)),
                            ("plain XLA", cfg)):
         t0 = time.time()
