@@ -309,6 +309,12 @@ class TokenizerConfig:
     transformer: WindowedTransformerConfig = field(
         default_factory=WindowedTransformerConfig
     )
+    # Run the ConvNeXt front end (stem + stages + downsample) in one fused
+    # Pallas kernel (ops/pallas_convnext_enc.py).  Changes the streaming
+    # state's backbone/down fields to a PackedEncState.  Batch-1 only;
+    # batched unpacks to the XLA path.
+    use_pallas_encoder: bool = False
+
     # training-only distillation head predicting w2v-BERT features
     head: ConvNeXtConfig = field(
         default_factory=lambda: ConvNeXtConfig(

@@ -386,6 +386,15 @@ def init_stream_state(params: Dict, cfg: TokenizerConfig, batch: int = 1,
                 "block": convnext.convnext_block_init_stream(stage["block"], batch, dtype),
             }
         )
+    if cfg.use_pallas_encoder and cfg.backbone.gin_channels == 0:
+        from streamvoiceanon_tpu.ops.pallas_convnext_enc import init_packed_state
+
+        return TokenizerStreamState(
+            mel=mel_init_state(cfg.mel, batch),
+            backbone=init_packed_state(cfg, batch, dtype),
+            down=(),
+            ring=ring_init(cfg.transformer, batch, dtype),
+        )
     return TokenizerStreamState(
         mel=mel_init_state(cfg.mel, batch),
         backbone=convnext_encoder_init_stream(params["backbone"], cfg.backbone, batch, dtype),
@@ -394,14 +403,27 @@ def init_stream_state(params: Dict, cfg: TokenizerConfig, batch: int = 1,
     )
 
 
-def encode_stream(
-    params: Dict, cfg: TokenizerConfig, state: TokenizerStreamState,
-    wav_chunk: jax.Array, consts: dict = None,
-) -> Tuple[TokenizerStreamState, jax.Array]:
-    """(state, (B, k*2048) samples) -> (state', (B, k) content tokens).
+def convert_enc_layout(state: TokenizerStreamState, params: Dict,
+                       cfg: TokenizerConfig) -> TokenizerStreamState:
+    """Migrate the ConvNeXt front-end streaming state between the dict
+    layout and the fused kernel's PackedEncState, per cfg.use_pallas_encoder
+    (used by StreamSession.transfer)."""
+    from streamvoiceanon_tpu.ops import pallas_convnext_enc as pce
 
-    Exactly prefix-consistent with tokenizer.encode on the whole signal."""
-    mel_state, mel = mel_stream(state.mel, wav_chunk, cfg.mel, consts)
+    want_packed = cfg.use_pallas_encoder and cfg.backbone.gin_channels == 0
+    is_packed = isinstance(state.backbone, pce.PackedEncState)
+    if want_packed and not is_packed:
+        return state._replace(
+            backbone=pce.pack_enc_state(state.backbone, state.down, cfg),
+            down=())
+    if not want_packed and is_packed:
+        bb, dn = pce.unpack_enc_state(state.backbone, cfg)
+        return state._replace(backbone=bb, down=dn)
+    return state
+
+
+def _encode_front_dict(params, cfg, state, mel):
+    """mel -> pre-transformer features via the op-by-op XLA path."""
     bb_state, feat = convnext_encoder_apply_stream(
         params["backbone"], cfg.backbone, state.backbone, mel
     )
@@ -414,6 +436,35 @@ def encode_stream(
         )
         bs, z = convnext.convnext_block_apply_stream(stage["block"], st["block"], z)
         new_down.append({"conv": cs, "block": bs})
+    return bb_state, z, tuple(new_down)
+
+
+def encode_stream(
+    params: Dict, cfg: TokenizerConfig, state: TokenizerStreamState,
+    wav_chunk: jax.Array, consts: dict = None,
+) -> Tuple[TokenizerStreamState, jax.Array]:
+    """(state, (B, k*2048) samples) -> (state', (B, k) content tokens).
+
+    Exactly prefix-consistent with tokenizer.encode on the whole signal."""
+    from streamvoiceanon_tpu.ops import pallas_convnext_enc as pce
+
+    mel_state, mel = mel_stream(state.mel, wav_chunk, cfg.mel, consts)
+    if isinstance(state.backbone, pce.PackedEncState):
+        if mel.shape[0] == 1:
+            pw = params.get("enc_packed")
+            if pw is None:
+                pw = pce.packed_weights(params, cfg)
+            bb_state, z = pce.encoder_front_step(
+                pw, state.backbone, mel, cfg, interpret=_pallas_interpret())
+            new_down = ()
+        else:  # batched: unpack -> XLA path -> repack
+            bb, dn = pce.unpack_enc_state(state.backbone, cfg)
+            tmp = state._replace(backbone=bb, down=dn)
+            bb2, z, nd = _encode_front_dict(params, cfg, tmp, mel)
+            bb_state = pce.pack_enc_state(bb2, nd, cfg)
+            new_down = ()
+    else:
+        bb_state, z, new_down = _encode_front_dict(params, cfg, state, mel)
 
     # one transformer step per new token (k is tiny — usually 1)
     ring = state.ring

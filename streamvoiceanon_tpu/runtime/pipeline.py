@@ -46,8 +46,8 @@ class VoiceConverter:
     speaker_params: Optional[Dict] = None
 
     def __post_init__(self):
-        # pre-pack the HiFiGAN head weights for the fused Pallas kernel
-        # OUTSIDE jit (re-packing in-program would copy ~40 MB per frame)
+        # pre-pack fused-kernel weight layouts OUTSIDE jit (re-packing
+        # in-program would copy tens of MB per frame)
         hcfg = self.cfg.vocoder.head
         if hcfg.use_pallas_stream and "head_packed" not in self.vocoder_params:
             from streamvoiceanon_tpu.ops.pallas_hifigan import packed_weights
@@ -55,6 +55,15 @@ class VoiceConverter:
             vp = dict(self.vocoder_params)
             vp["head_packed"] = packed_weights(vp["head"], hcfg)
             self.vocoder_params = vp
+        tcfg = self.cfg.tokenizer
+        if tcfg.use_pallas_encoder and "enc_packed" not in self.tokenizer_params:
+            from streamvoiceanon_tpu.ops.pallas_convnext_enc import (
+                packed_weights as enc_packed_weights,
+            )
+
+            tp = dict(self.tokenizer_params)
+            tp["enc_packed"] = enc_packed_weights(tp, tcfg)
+            self.tokenizer_params = tp
 
     # ------------------------------------------------------------------
     # feature extraction

@@ -268,10 +268,13 @@ class StreamSession:
         if self.incremental:
             new._mel_consts = put(self._mel_consts)
             new.fstate = jax.tree.map(put, self.fstate)
+            tok2 = tokenizer_stream.convert_enc_layout(
+                new.fstate.tok, converter.tokenizer_params,
+                converter.cfg.tokenizer)
             new.fstate = new.fstate._replace(
                 lm=relayout(new.fstate.lm),
-                tok=new.fstate.tok._replace(ring=tokenizer_stream.convert_ring_layout(
-                    new.fstate.tok.ring, converter.cfg.tokenizer.transformer)),
+                tok=tok2._replace(ring=tokenizer_stream.convert_ring_layout(
+                    tok2.ring, converter.cfg.tokenizer.transformer)),
                 voc=vocoder.convert_head_layout(
                     new.fstate.voc, converter.cfg.vocoder.head),
             )
