@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--pallas-voc", action="store_true",
                     help="route the HiFiGAN head through the fused "
                          "single-invocation Pallas kernel (packed tails)")
+    ap.add_argument("--pallas-enc", action="store_true",
+                    help="route the ConvNeXt front end through the fused "
+                         "single-invocation Pallas kernel (packed tails)")
     ap.add_argument("--unroll", default="1",
                     help="slow-transformer decode layer-scan unroll factor(s);"
                          " comma list sweeps the LM stage per factor")
@@ -83,11 +86,14 @@ def main():
             out = replace(out, vocoder=replace(
                 out.vocoder, head=replace(
                     out.vocoder.head, use_pallas_stream=True)))
+        if args.pallas_enc:
+            out = replace(out, tokenizer=replace(
+                out.tokenizer, use_pallas_encoder=True))
         return out
 
     cfg = PipelineConfig()
     if (args.pallas_fast or args.pallas_slow or args.pallas_wt
-            or args.pallas_voc or unrolls[0] != 1):
+            or args.pallas_voc or args.pallas_enc or unrolls[0] != 1):
         cfg = with_decode_opts(cfg, unrolls[0])
     spf = cfg.samples_per_frame
     rng = np.random.default_rng(0)
