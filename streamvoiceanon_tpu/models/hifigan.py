@@ -81,7 +81,7 @@ def hifigan_init_stream(p: Dict, cfg: HiFiGANConfig, batch: int = 1,
 
     With cfg.use_pallas_stream (and the supported k == 2*stride upsample
     geometry) the state is the fused kernel's PackedHeadState instead."""
-    if cfg.use_pallas_stream and all(
+    if cfg.use_pallas_stream and batch == 1 and all(
         k == 2 * s for k, s in zip(cfg.upsample_kernel_sizes, cfg.upsample_rates)
     ):
         from streamvoiceanon_tpu.ops.pallas_hifigan import init_packed_state

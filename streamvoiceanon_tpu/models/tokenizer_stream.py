@@ -66,7 +66,11 @@ def mel_stream(state: MelState, wav_chunk: jax.Array, cfg,
     full signal at the corresponding frames."""
     x = jnp.concatenate([state.tail, wav_chunk.astype(jnp.float32)], axis=1)
     if consts is None:
-        mel = stft.log_mel_spectrogram(x, cfg, causal_pad=False)
+        # causal_pad=False (the tail provides the context) but the reference
+        # pow2_sqrt magnitude epsilon must stay (spectrogram.py:63) — same
+        # formula as the consts branch below
+        mel = stft.log_mel_spectrogram(x, cfg, causal_pad=False,
+                                       pow2_sqrt_eps=True)
     else:
         spec = jax.lax.conv_general_dilated(
             x[:, :, None], consts["dft"], window_strides=(cfg.hop_length,),
@@ -351,14 +355,16 @@ def _stack_cache():
 
 
 def _stack_wt_layers(params: Dict):
-    """Stack the windowed-transformer layer list once per params identity."""
+    """Stack the windowed-transformer layer list once per params identity.
+    The params object is pinned alongside the stacked tree — the cache is
+    keyed by id(), and a collected dict's address can be reused."""
     cache = _stack_cache()
     key = id(params)
     if key not in cache:
         from streamvoiceanon_tpu.models.dual_ar import stack_layers
 
-        cache[key] = stack_layers(params["layers"])
-    return cache[key]
+        cache[key] = (params, stack_layers(params["layers"]))
+    return cache[key][1]
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +392,7 @@ def init_stream_state(params: Dict, cfg: TokenizerConfig, batch: int = 1,
                 "block": convnext.convnext_block_init_stream(stage["block"], batch, dtype),
             }
         )
-    if cfg.use_pallas_encoder and cfg.backbone.gin_channels == 0:
+    if cfg.use_pallas_encoder and cfg.backbone.gin_channels == 0 and batch == 1:
         from streamvoiceanon_tpu.ops.pallas_convnext_enc import init_packed_state
 
         return TokenizerStreamState(
@@ -410,8 +416,11 @@ def convert_enc_layout(state: TokenizerStreamState, params: Dict,
     (used by StreamSession.transfer)."""
     from streamvoiceanon_tpu.ops import pallas_convnext_enc as pce
 
-    want_packed = cfg.use_pallas_encoder and cfg.backbone.gin_channels == 0
     is_packed = isinstance(state.backbone, pce.PackedEncState)
+    batch = (state.backbone.stem.shape[0] if is_packed
+             else state.backbone["stem"].tail.shape[0])
+    want_packed = (cfg.use_pallas_encoder and cfg.backbone.gin_channels == 0
+                   and batch == 1)
     if want_packed and not is_packed:
         return state._replace(
             backbone=pce.pack_enc_state(state.backbone, state.down, cfg),

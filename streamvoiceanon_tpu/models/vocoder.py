@@ -151,7 +151,9 @@ def convert_head_layout(state: Dict, hcfg) -> Dict:
     from streamvoiceanon_tpu.ops import pallas_hifigan as ph
 
     head = state["head"]
-    want_packed = hcfg.use_pallas_stream and all(
+    batch = (head.pre.shape[0] if hasattr(head, "pre")
+             else head["conv_pre"].tail.shape[0])
+    want_packed = hcfg.use_pallas_stream and batch == 1 and all(
         k == 2 * s for k, s in zip(hcfg.upsample_kernel_sizes, hcfg.upsample_rates)
     )
     if want_packed and not isinstance(head, ph.PackedHeadState):

@@ -39,21 +39,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # pltpu resolves on TPU-capable builds; interpret mode works anywhere
-    from jax.experimental.pallas import tpu as pltpu
-
-    _MEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _MEM = None
+from streamvoiceanon_tpu.ops.pallas_common import (  # shared kernel helpers
+    NEG_INF as _NEG_INF,
+    SMEM as _SMEM,
+    VMEM as _MEM,
+    dot as _dot,
+    dotf as _dotf,
+    pltpu,
+    rms as _rms,
+)
 
 from streamvoiceanon_tpu.config import TokenizerConfig
-
-
-def _dotf(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
 
 
 def _ln(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -153,12 +149,27 @@ def unpack_enc_state(packed: PackedEncState, cfg: TokenizerConfig):
 _WCACHE: Dict[int, Dict] = {}
 
 
+def _check_geometry(tok_params: Dict, cfg: TokenizerConfig) -> None:
+    k = cfg.backbone.kernel_size
+    if k > 9:
+        raise NotImplementedError(
+            "pallas convnext encoder: kernel_size > 9 overflows the 8-row "
+            "packed tail slots")
+    for d in tok_params["downsample"]:
+        if d["block"]["dwconv"]["w"].shape[0] != k:
+            raise NotImplementedError(
+                "pallas convnext encoder: downsample-block dwconv kernel "
+                "must equal backbone.kernel_size")
+
+
 def packed_weights(tok_params: Dict, cfg: TokenizerConfig) -> Dict:
     key = id(tok_params)
-    if key in _WCACHE:
-        return _WCACHE[key]
+    hit = _WCACHE.get(key)
+    if hit is not None:
+        return hit[1]
     bb = cfg.backbone
     p = tok_params["backbone"]
+    _check_geometry(tok_params, cfg)
 
     def stage_pack(blocks):
         dw_w = jnp.stack([b["dwconv"]["w"][:, 0, :] for b in blocks])  # (d, k, C)
@@ -197,7 +208,10 @@ def packed_weights(tok_params: Dict, cfg: TokenizerConfig) -> Dict:
         ],
     }
     out = jax.tree.map(jnp.asarray, out)
-    _WCACHE[key] = out
+    # pin the params object alongside the packed tree: the cache is keyed by
+    # id(), and a garbage-collected dict's address can be reused by a
+    # different model's params — keeping a strong reference prevents that
+    _WCACHE[key] = (tok_params, out)
     return out
 
 

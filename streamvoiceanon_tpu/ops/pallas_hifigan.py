@@ -40,13 +40,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # pltpu resolves on TPU-capable builds; interpret mode works anywhere
-    from jax.experimental.pallas import tpu as pltpu
-
-    _MEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _MEM = None
+from streamvoiceanon_tpu.ops.pallas_common import (  # shared kernel helpers
+    NEG_INF as _NEG_INF,
+    SMEM as _SMEM,
+    VMEM as _MEM,
+    dot as _dot,
+    dotf as _dotf,
+    pltpu,
+    rms as _rms,
+)
 
 from streamvoiceanon_tpu.config import HiFiGANConfig
 
@@ -60,12 +62,6 @@ def _silu(x: jax.Array) -> jax.Array:
     return (xf / (1.0 + jnp.exp(-xf))).astype(x.dtype)
 
 
-def _dotf(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-
 # ---------------------------------------------------------------------------
 # Geometry: traversal order and packed-tail offsets
 # ---------------------------------------------------------------------------
@@ -75,6 +71,10 @@ def _res_slots(cfg: HiFiGANConfig) -> List[Tuple[int, int, int, int]]:
     """Per-stage resblock conv slots in traversal order
     [(k, d, rows, offset), ...] — conv1 then conv2 per dilation, dilations
     inner, kernel sizes outer (models/hifigan.resblock_apply_stream)."""
+    if any(tuple(d) != tuple(cfg.resblock_dilation_sizes[0])
+           for d in cfg.resblock_dilation_sizes):
+        raise NotImplementedError(
+            "pallas hifigan head requires uniform resblock_dilation_sizes")
     slots = []
     off = 0
     for k in cfg.resblock_kernel_sizes:
@@ -188,8 +188,9 @@ _WCACHE: Dict[int, Dict] = {}
 
 def packed_weights(p: Dict, cfg: HiFiGANConfig) -> Dict:
     key = id(p)
-    if key in _WCACHE:
-        return _WCACHE[key]
+    hit = _WCACHE.get(key)
+    if hit is not None:
+        return hit[1]
 
     def conv_w(cp):  # (k, Cin, Cout) -> (k*Cin, Cout), tap-major rows
         k, ci, co = cp["w"].shape
@@ -220,7 +221,10 @@ def packed_weights(p: Dict, cfg: HiFiGANConfig) -> Dict:
         "post_w": conv_w(p["conv_post"]), "post_b": p["conv_post"]["b"][None],
     }
     out = jax.tree.map(jnp.asarray, out)
-    _WCACHE[key] = out
+    # pin the params object alongside the packed tree: the cache is keyed by
+    # id(), and a garbage-collected dict's address can be reused by a
+    # different model's params — keeping a strong reference prevents that
+    _WCACHE[key] = (p, out)
     return out
 
 

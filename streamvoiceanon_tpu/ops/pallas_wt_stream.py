@@ -54,40 +54,20 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-try:  # pltpu resolves on TPU-capable builds; interpret mode works anywhere
-    from jax.experimental.pallas import tpu as pltpu
+from streamvoiceanon_tpu.ops.pallas_common import (  # shared kernel helpers
+    NEG_INF as _NEG_INF,
+    SMEM as _SMEM,
+    VMEM as _MEM,
+    dot as _dot,
+    dotf as _dotf,
+    pltpu,
+    rms as _rms,
+)
 
-    _MEM = pltpu.VMEM
-    _SMEM = pltpu.SMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _MEM = None
-    _SMEM = None
-
-_NEG_INF = float(-jnp.inf)
 
 # rebase period: positions live in [W, W + R); the rope table is W + R rows.
 # One rebase per R tokens (~3.5k chunks = ~166 s of audio at W=512).
 _TABLE = 4096
-
-
-def _rms(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
-    xf = x.astype(jnp.float32)
-    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-    return y.astype(x.dtype) * w
-
-
-def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
-    out = jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    return out.astype(a.dtype)
-
-
-def _dotf(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
 
 
 def _partner(x: jax.Array) -> jax.Array:

@@ -113,7 +113,8 @@ def _mel_matrix(cfg: MelConfig) -> np.ndarray:
 
 
 def linear_spectrogram(
-    wav: jax.Array, cfg: MelConfig, *, causal_pad: bool = True, center: bool = False
+    wav: jax.Array, cfg: MelConfig, *, causal_pad: bool = True,
+    center: bool = False, pow2_sqrt_eps: bool = None
 ) -> jax.Array:
     """Magnitude spectrogram of shape (B, frames, n_bins).
 
@@ -147,7 +148,12 @@ def linear_spectrogram(
     )  # (B, frames, 2*n_bins)
     n_bins = cfg.n_fft // 2 + 1
     re, im = spec[..., :n_bins], spec[..., n_bins:]
-    eps = 1e-6 if causal_pad else 0.0  # pow2_sqrt mode adds 1e-6 (spectrogram.py:63)
+    # pow2_sqrt mode adds 1e-6 (spectrogram.py:63); the center-mode speaker
+    # front end does not.  Default follows causal_pad, but streaming callers
+    # that supply their own context (causal_pad=False) still need the eps.
+    if pow2_sqrt_eps is None:
+        pow2_sqrt_eps = causal_pad
+    eps = 1e-6 if pow2_sqrt_eps else 0.0
     return jnp.sqrt(re * re + im * im + eps)
 
 
@@ -161,10 +167,12 @@ def mel_spectrogram_center(wav: jax.Array, cfg: MelConfig) -> jax.Array:
 
 
 def log_mel_spectrogram(
-    wav: jax.Array, cfg: MelConfig, *, causal_pad: bool = True
+    wav: jax.Array, cfg: MelConfig, *, causal_pad: bool = True,
+    pow2_sqrt_eps: bool = True
 ) -> jax.Array:
     """Causal log-mel features, shape (B, frames, n_mels)."""
-    spec = linear_spectrogram(wav, cfg, causal_pad=causal_pad)
+    spec = linear_spectrogram(wav, cfg, causal_pad=causal_pad,
+                              pow2_sqrt_eps=pow2_sqrt_eps)
     fb = jnp.asarray(_mel_matrix(cfg))
     mel = jnp.einsum(
         "btf,fm->btm", spec, fb, preferred_element_type=jnp.float32
