@@ -107,7 +107,7 @@ def generate(
     k_sem, k_fast = jax.random.split(k0)
     _ = k_sem  # semantic sample of the prefill frame is discarded (VC path)
     hidden = dual_ar._project_fast(params["model"], last_hidden)
-    first_codes, first_emb = dual_ar._fast_decode(
+    first_codes, first_emb, _ = dual_ar._fast_decode(
         params["model"], dcfg, hidden, k_fast, sampling)
     if first_emb is None:
         first_emb = dual_ar.embed_codes(params["model"], dcfg, first_codes[:, :, None])

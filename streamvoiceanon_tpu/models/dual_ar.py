@@ -305,6 +305,10 @@ class DecodeState(NamedTuple):
     k_cache: jax.Array  # (L, B, H, S, D)
     v_cache: jax.Array
     pos: jax.Array  # scalar int32: next cache slot to write
+    # cumulative count of nucleus-truncation events (windowed top-p filter
+    # whose top-k window held < top_p mass — see ops/sampling.sample_token).
+    # Carried as data so the guard works on callback-free backends (axon).
+    trunc: jax.Array = 0  # scalar int32
 
 
 def init_state(
@@ -321,6 +325,7 @@ def init_state(
     return DecodeState(
         jnp.zeros(shape, cache_dtype),
         jnp.zeros(shape, cache_dtype),
+        jnp.int32(0),
         jnp.int32(0),
     )
 
@@ -341,7 +346,9 @@ def convert_cache_layout(state: DecodeState, cfg: DualARConfig) -> DecodeState:
         def to_flat(c):
             return jnp.swapaxes(c[..., :D], 2, 3).reshape(L, B, S, H * D)
 
-        return DecodeState(to_flat(state.k_cache), to_flat(state.v_cache), state.pos)
+        return DecodeState(
+            to_flat(state.k_cache), to_flat(state.v_cache), state.pos, state.trunc
+        )
     if not want_flat and kc.ndim == 4:
         L, B, S, HD = kc.shape
         H, D = cfg.n_local_heads, cfg.head_dim
@@ -352,7 +359,9 @@ def convert_cache_layout(state: DecodeState, cfg: DualARConfig) -> DecodeState:
                 c = jnp.pad(c, ((0, 0),) * 4 + ((0, cfg.cache_head_dim - D),))
             return c
 
-        return DecodeState(to_headed(state.k_cache), to_headed(state.v_cache), state.pos)
+        return DecodeState(
+            to_headed(state.k_cache), to_headed(state.v_cache), state.pos, state.trunc
+        )
     return state
 
 
@@ -395,7 +404,7 @@ def prefill(
     last_hidden = jnp.take_along_axis(
         x, (valid_len - 1)[None, None, None].astype(jnp.int32) * jnp.ones((B, 1, 1), jnp.int32), axis=1
     )
-    new_state = DecodeState(caches[0], caches[1], start + valid_len)
+    new_state = DecodeState(caches[0], caches[1], start + valid_len, state.trunc)
     return new_state, last_hidden
 
 
@@ -413,7 +422,8 @@ def _fast_decode(
 ) -> jax.Array:
     """8-step autoregressive codebook sampling with a fresh fast KV cache
     (decode_one_token_ar zeroes it every frame, dual_ar_stream.py:1197-1205).
-    Returns codes (B, num_codebooks) int32.
+    Returns (codes (B, num_codebooks) int32, fused audio_emb or None,
+    trunc int32 scalar — count of nucleus-truncation events this frame).
 
     With cfg.use_pallas_fast_decode and batch 1, the whole loop runs in one
     VMEM-resident Pallas kernel (ops/pallas_fast_decode.py) — weights stream
@@ -439,7 +449,10 @@ def _fast_decode(
             greedy=sampling.greedy,
             interpret=_pallas_interpret(),
         )
-        return codes, aemb[:, None].astype(params["codebook_embeddings"].dtype)
+        # in-kernel sampler is the exact full-vocab nucleus filter — no
+        # window, no truncation possible
+        return (codes, aemb[:, None].astype(params["codebook_embeddings"].dtype),
+                jnp.int32(0))
     nq = cfg.num_codebooks
     shape = (cfg.n_fast_layer, B, cfg.fast_n_local_heads, nq, cfg.fast_head_dim)
     fast_freqs_all = jnp.asarray(
@@ -458,14 +471,15 @@ def _fast_decode(
         )
         y = rms_norm(y, params["fast_norm"]["w"], cfg.norm_eps)
         logits = (y @ params["fast_output"]["w"])[:, -1]  # (B, V)
-        code = jax.vmap(
+        code, fl = jax.vmap(
             lambda kk, lg: sample_token(
                 kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
                 greedy=sampling.greedy, top_k_window=sampling.top_k_window,
+                with_flag=True,
             )
         )(jax.random.split(k, B), logits)
         next_x = jnp.take(params["fast_embeddings"], code, axis=0)[:, None].astype(x.dtype)
-        return (next_x, kc, vc, pos + 1), code
+        return (next_x, kc, vc, pos + 1), (code, jnp.sum(fl))
 
     init = (
         hidden,
@@ -473,8 +487,9 @@ def _fast_decode(
         jnp.zeros(shape, hidden.dtype),
         jnp.int32(0),
     )
-    _, codes = jax.lax.scan(step, init, jax.random.split(key, nq))
-    return jnp.swapaxes(codes, 0, 1), None  # (B, nq), no fused embedding
+    _, (codes, flags) = jax.lax.scan(step, init, jax.random.split(key, nq))
+    # (B, nq), no fused embedding, truncation-event count across the loop
+    return jnp.swapaxes(codes, 0, 1), None, jnp.sum(flags)
 
 
 def _project_fast(params: Dict, hidden: jax.Array) -> jax.Array:
@@ -640,6 +655,7 @@ def decode_frame(
         )
         last = x2[None, -1:]
         caches = (k_cache, v_cache)
+        sem_trunc = jnp.int32(0)  # in-kernel sampler is the exact filter
     else:
         positions = state.pos + jnp.arange(2)
         freqs = jnp.take(_freqs(cfg), positions, axis=0)
@@ -652,15 +668,20 @@ def decode_frame(
         )
         last = x[:, -1:]
         logits = _token_logits(params, cfg, last)[:, -1]  # (B, vocab)
-        semantic = jax.vmap(
+        semantic, sem_flags = jax.vmap(
             lambda kk, lg: sample_token(
                 kk, lg, temperature=sampling.temperature, top_p=sampling.top_p,
                 greedy=sampling.greedy, top_k_window=sampling.top_k_window,
+                with_flag=True,
             )
         )(jax.random.split(k_sem, B), logits)
+        sem_trunc = jnp.sum(sem_flags)
     hidden = _project_fast(params, last)
-    codes, audio_emb = _fast_decode(params, cfg, hidden, k_fast, sampling)
+    codes, audio_emb, fast_trunc = _fast_decode(params, cfg, hidden, k_fast, sampling)
     if audio_emb is None:
         audio_emb = embed_codes(params, cfg, codes[:, :, None])
-    new_state = DecodeState(caches[0], caches[1], state.pos + 2)
+    new_state = DecodeState(
+        caches[0], caches[1], state.pos + 2,
+        state.trunc + sem_trunc + fast_trunc,
+    )
     return new_state, semantic, codes, audio_emb

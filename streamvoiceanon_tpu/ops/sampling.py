@@ -60,21 +60,33 @@ def sample_token(
     previous_tokens: Optional[jax.Array] = None,
     greedy: bool = False,
     top_k_window: int = 0,
-) -> jax.Array:
+    with_flag: bool = False,
+):
     """Sample one token id (scalar int32) from logits (V,).
 
     With `top_k_window` > 0 the nucleus filter runs over only the top-k
     logits (jax.lax.top_k + cumsum over k candidates) instead of a full-vocab
     sort — the decode hot path uses k=64..256, which is exact whenever the
     nucleus fits in the window (always, at the reference's top_p=0.7 with a
-    trained model) and orders of magnitude cheaper on TPU."""
+    trained model) and orders of magnitude cheaper on TPU.
+
+    `with_flag=True` returns (token, truncated) where `truncated` is an int32
+    scalar that is 1 iff the windowed filter silently truncated the nucleus
+    (window mass < top_p: flat logits / untrained model / high temperature).
+    The flag is pure data — no host callback — so the guard works on every
+    backend including the axon relay (which lacks host send/recv); the
+    runtime accumulates it in the decode state (DecodeState.trunc) and
+    surfaces it through StreamSession.truncation_count / LiveStatus."""
     logits = logits.astype(jnp.float32)
+    zero = jnp.zeros((), jnp.int32)
     if previous_tokens is not None and repetition_penalty != 1.0:
         logits = apply_repetition_penalty(logits, previous_tokens, repetition_penalty)
     if greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (tok, zero) if with_flag else tok
     if top_k_window and top_k_window < logits.shape[-1]:
         vals, idx = jax.lax.top_k(logits, top_k_window)  # descending
+        flag = zero
         if top_p < 1.0:
             # normalize against the FULL vocabulary (matching the reference's
             # softmax-then-cumsum over all logits), not just the window
@@ -85,28 +97,17 @@ def sample_token(
             vals = jnp.where(keep, vals, -jnp.inf)
             # guard the approximation: if the window's total mass is below
             # top_p the nucleus extends past the window and the distribution
-            # is silently truncated (flat logits / untrained model / high
-            # temperature).  Flag it — exact path is top_k_window=0.
-            # jax.debug.print lowers to a host callback, which the axon TPU
-            # relay does not support (UNIMPLEMENTED: host send/recv), so the
-            # guard only runs on callback-capable backends (CPU tests/dev).
-            if jax.default_backend() != "tpu":
-                jax.lax.cond(
-                    cum[..., -1] < top_p,
-                    lambda: jax.debug.print(
-                        "sample_token: top-{k} window covers cum-prob {c:.3f}"
-                        " < top_p={p} — nucleus truncated; set top_k_window=0"
-                        " for the exact full-vocab filter",
-                        k=top_k_window, c=cum[..., -1], p=top_p),
-                    lambda: None,
-                )
+            # is silently truncated.  Exact path is top_k_window=0.
+            flag = (cum[..., -1] < top_p).astype(jnp.int32)
         vals = vals / jnp.maximum(temperature, 1e-5)
         g = jax.random.gumbel(key, vals.shape, jnp.float32)
         j = jnp.argmax(vals + g, axis=-1)
-        return jnp.take(idx, j).astype(jnp.int32)
+        tok = jnp.take(idx, j).astype(jnp.int32)
+        return (tok, flag) if with_flag else tok
     if top_p < 1.0:
         logits = top_p_mask(logits, top_p)
     logits = logits / jnp.maximum(temperature, 1e-5)
     # exponential race == gumbel-max == multinomial, no host sync
     g = jax.random.gumbel(key, logits.shape, jnp.float32)
-    return jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+    tok = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+    return (tok, zero) if with_flag else tok

@@ -52,13 +52,19 @@ class LiveStatus:
     throughput_rtf: float  # chunk-periods consumed per frame budget
     in_overruns: int
     out_underruns: int
+    # cumulative nucleus-truncation events from the windowed top-p sampler
+    # (StreamSession.truncation_count); nonzero = distributions were clipped,
+    # set top_k_window=0 for the exact filter
+    nucleus_truncations: int = 0
 
     def line(self) -> str:
+        trunc = (f" | TRUNC={self.nucleus_truncations}"
+                 if self.nucleus_truncations else "")
         return (
             f"[{self.state:9s}] preset={self.preset} ref={self.reference or '-'} "
             f"{self.sample_rate} Hz | chunks={self.chunks_processed} "
             f"infer={self.infer_ms:6.1f} ms | RTF={self.throughput_rtf:5.2f} | "
-            f"xruns in={self.in_overruns} out={self.out_underruns}"
+            f"xruns in={self.in_overruns} out={self.out_underruns}{trunc}"
         )
 
 
@@ -220,6 +226,10 @@ class LiveApp:
             throughput_rtf=rtf,
             in_overruns=eng.in_ring.overruns() if eng else 0,
             out_underruns=eng.out_ring.underruns() if eng else 0,
+            # one scalar host fetch per status tick (~25 ms on the relay) —
+            # off the per-chunk hot path, and only while a stream is live
+            nucleus_truncations=(
+                eng.session.truncation_count if eng is not None else 0),
         )
 
 

@@ -291,6 +291,17 @@ class StreamSession:
     def _lm_pos(self) -> int:
         return int(self._lm_state().decode.pos)
 
+    @property
+    def truncation_count(self) -> int:
+        """Cumulative nucleus-truncation events (windowed top-p filter whose
+        top-k window held < top_p mass — see ops/sampling.sample_token).
+        Nonzero means sampled distributions were silently clipped; switch to
+        top_k_window=0 for the exact filter.  Carried as data in the decode
+        state so it works on callback-free backends; reading it is one host
+        fetch (~25 ms on the axon relay) — call it from stats paths, not the
+        per-chunk hot loop."""
+        return int(self._lm_state().decode.trunc)
+
     def process_chunk(self, chunk: np.ndarray) -> np.ndarray:
         if self.incremental:
             out = np.asarray(self._process_chunk_incremental(chunk)[0])

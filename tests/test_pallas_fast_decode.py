@@ -52,7 +52,7 @@ def run_kernel(cfg, params, hidden, key, **kw):
 
 def test_greedy_matches_xla_scan(setup):
     cfg, params, hidden = setup
-    ref, _ = dual_ar._fast_decode(
+    ref, _, _ = dual_ar._fast_decode(
         params, cfg, hidden[:, None, :], jax.random.PRNGKey(2),
         SamplingConfig(greedy=True),
     )
@@ -68,7 +68,7 @@ def test_greedy_matches_xla_scan(setup):
 def test_sampled_matches_xla_exact_nucleus(setup, seed):
     cfg, params, hidden = setup
     samp = SamplingConfig(greedy=False, top_k_window=0, temperature=0.7, top_p=0.7)
-    ref, _ = dual_ar._fast_decode(
+    ref, _, _ = dual_ar._fast_decode(
         params, cfg, hidden[:, None, :], jax.random.PRNGKey(seed), samp
     )
     got, _ = run_kernel(
@@ -87,7 +87,7 @@ def test_sampled_flat_logits_nucleus_bisection(setup):
         * 1e-3
     )
     samp = SamplingConfig(greedy=False, top_k_window=0, temperature=1.5, top_p=0.9)
-    ref, _ = dual_ar._fast_decode(
+    ref, _, _ = dual_ar._fast_decode(
         params, cfg, hidden[:, None, :], jax.random.PRNGKey(11), samp
     )
     got, _ = run_kernel(
@@ -120,6 +120,6 @@ def test_batch_gt1_falls_back_to_scan(setup):
     cfg, params, hidden = setup
     cfg_pl = tiny_cfg(use_pallas_fast_decode=True)
     samp = SamplingConfig(greedy=True)
-    ref, _ = dual_ar._fast_decode(params, cfg, hidden[:, None, :], jax.random.PRNGKey(2), samp)
-    got, _ = dual_ar._fast_decode(params, cfg_pl, hidden[:, None, :], jax.random.PRNGKey(2), samp)
+    ref, _, _ = dual_ar._fast_decode(params, cfg, hidden[:, None, :], jax.random.PRNGKey(2), samp)
+    got, _, _ = dual_ar._fast_decode(params, cfg_pl, hidden[:, None, :], jax.random.PRNGKey(2), samp)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -49,17 +49,24 @@ def test_windowed_sampling_matches_exact_when_covered():
     assert set(np.asarray(windowed).tolist()) <= set(support.tolist())
 
 
-def test_flat_logits_flag_fires_without_error(capfd):
-    """The runtime guard must not break jit/scan compilation, and fires on
-    adversarially flat logits."""
+def test_flat_logits_truncation_flag():
+    """The truncation guard is pure data (no host callback — it must work on
+    the callback-free axon relay): flag=1 on adversarially flat logits,
+    flag=0 when the nucleus fits in the window, and it composes with jit."""
     flat = jnp.zeros(8192)
+    peaked = jnp.zeros(8192).at[17].set(20.0)
 
     @jax.jit
-    def f(key):
-        return sample_token(key, flat, top_p=0.7, top_k_window=64)
+    def f(key, logits):
+        return sample_token(key, logits, top_p=0.7, top_k_window=64,
+                            with_flag=True)
 
-    tok = f(jax.random.PRNGKey(0))
-    jax.effects_barrier()
+    tok, flag = f(jax.random.PRNGKey(0), flat)
     assert 0 <= int(tok) < 8192
-    out = capfd.readouterr()
-    assert "nucleus truncated" in out.out or "nucleus truncated" in out.err
+    assert int(flag) == 1
+    _, flag = f(jax.random.PRNGKey(0), peaked)
+    assert int(flag) == 0
+    # exact full-vocab path never truncates
+    _, flag = jax.jit(lambda k: sample_token(
+        k, flat, top_p=0.7, top_k_window=0, with_flag=True))(jax.random.PRNGKey(0))
+    assert int(flag) == 0
