@@ -6,18 +6,24 @@ decode_chunk_frames=1 — the reference's real-time operating point
 — and reports RTF against the 46.44 ms frame budget.  Prints ONE JSON line
 on stdout.
 
-Robustness design (round-1 postmortem: BENCH_r01.json was rc=124 with no
-output because one-time prep paid ~540 s of axon remote-compile work):
+Robustness design (two rounds of postmortems):
 
-* ALL one-time prep (param build, reference encoding, prompt prefill, delay
-  prefill, warm-up chunks) runs on the LOCAL CPU backend — local XLA
-  compiles, zero relay round-trips (~30 s total) — then the stream state is
-  transferred to the TPU.  The TPU only ever compiles the two small
-  per-chunk programs, and those are AOT-compiled in parallel threads.
-* A measurement exists within the first ~2 minutes (M=1 first), and the
-  result line is emitted from a SIGTERM/SIGALRM handler if the driver's
-  clock runs out mid-refinement — never lose the number again.
-* No whole-run retry: each phase is individually guarded.
+* round 1 (rc=124, no output): one-time prep paid ~540 s of axon
+  remote-compile work.  Fix: ALL one-time prep (param build, reference
+  encoding, prompt prefill, delay prefill, warm-up chunks) runs on a CPU
+  backend; the TPU only ever compiles the two small per-chunk programs,
+  AOT-compiled in parallel threads.  A measurement exists within the first
+  ~2 minutes, and the result line is emitted from a SIGTERM/SIGALRM handler.
+* round 2 (rc=1, parsed=null): the relay was DOWN and the first backend
+  touch hung ~25 min, then raised — and even `jax.devices("cpu")` blocks,
+  because backend discovery initializes every platform the sitecustomize
+  pins (axon first).  Fix: the main process touches NO jax backend until a
+  SUBPROCESS probe confirms the TPU answers (poll with timeout until
+  budget - 600 s); CPU prep runs concurrently in a JAX_PLATFORMS=cpu child
+  (immune to the tunnel) and crosses back via StreamSession.snapshot().
+  If the backend never appears we still print a JSON line with an explicit
+  "skipped" marker and exit 0 — the failure mode is machine-readable, never
+  an empty artifact.
 
 vs_baseline: the reference needs torch.compile to reach RTF < 1.0 on a
 consumer GPU (README.md:53-59); vs_baseline = 1.0 / RTF_measured.
@@ -25,7 +31,9 @@ consumer GPU (README.md:53-59); vs_baseline = 1.0 / RTF_measured.
 
 import json
 import os
+import pickle
 import signal
+import subprocess
 import sys
 import threading
 import time
@@ -42,6 +50,9 @@ import numpy as np
 FRAME_SECONDS = 2048 / 44100
 T_START = time.time()
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+# budget reserved AFTER the TPU first answers: converter build + AOT
+# compiles (~60-120 s warm cache) + at least the M=1 and M=8 measurements
+RESERVE_S = float(os.environ.get("BENCH_RESERVE_S", "600"))
 
 _best_lock = threading.Lock()
 _best = None  # latest/best result dict, emitted exactly once
@@ -69,53 +80,92 @@ def _on_signal(signum, frame):
     _emit(0)
 
 
-signal.signal(signal.SIGTERM, _on_signal)
-signal.signal(signal.SIGALRM, _on_signal)
-# leave ~15 s of slack before an external `timeout` would SIGKILL us
-signal.alarm(max(30, int(DEADLINE_S - 15)))
+def _arm_signals():
+    """Install the emit-on-signal path and the deadline alarm.  Called only
+    from __main__ — importing bench (benchmarks/, tests) must not schedule
+    an alarm that would kill a long-lived host process."""
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    # leave ~15 s of slack before an external `timeout` would SIGKILL us
+    signal.alarm(max(30, int(DEADLINE_S - 15)))
 
 
 def budget_left():
     return DEADLINE_S - (time.time() - T_START)
 
 
-def update_best(results, scan_results=None):
-    """results: {M: (period_s, p50_latency_s)} per-chunk-dispatch fetch
-    groups; scan_results: {G: (period_s, group_latency_s)} scan-dispatch
-    groups (one program dispatch + one fetch per G chunks).  Headline = the
-    lowest sustained period, labeled with its mode + latency."""
-    global _best
-    m1 = results.get(1)
-    m1_txt = f"; M=1: RTF {m1[0]/FRAME_SECONDS:.2f} at {m1[1]*1e3:.0f}ms" if m1 else ""
-    candidates = []
-    grouped = [m for m in results if m > 1]
-    if grouped:
-        bm = min(grouped, key=lambda m: results[m][0])
-        period, lat = results[bm]
-        candidates.append((period, (
-            f"sustained chunk period / 46.44ms frame (device-concat fetch "
-            f"M={bm}, p50 delivery latency {lat*1e3:.0f}ms{m1_txt})")))
-    for g, (period, lat) in (scan_results or {}).items():
-        candidates.append((period, (
-            f"sustained chunk period / 46.44ms frame (scan-dispatch group "
-            f"G={g}: one program dispatch + one fetch per {g} chunks, group "
-            f"latency {lat*1e3:.0f}ms{m1_txt})")))
-    if not candidates and m1:
-        period, lat = m1
-        candidates = [(period, (
-            f"sustained chunk period / 46.44ms frame (M=1 per-chunk fetch, "
-            f"p50 delivery latency {lat*1e3:.0f}ms)"))]
-    if not candidates:
-        return
-    period, unit = min(candidates, key=lambda c: c[0])
-    rtf = period / FRAME_SECONDS
-    with _best_lock:
-        _best = {
-            "metric": "streaming_rtf_chunk1",
-            "value": round(rtf, 4),
-            "unit": unit,
-            "vs_baseline": round(1.0 / rtf, 2) if rtf > 0 else None,
-        }
+def _dsp_dtype():
+    """DSP (tokenizer/vocoder) serving precision: bf16 halves the dominant
+    weight-streaming traffic of the encode/vocode stages (BENCH.md); the
+    reference's live GUI likewise serves in fp16 (real-time-gui.py fp16
+    inference).  Override with BENCH_DSP_DTYPE=float32."""
+    return (jnp.float32 if os.environ.get("BENCH_DSP_DTYPE") == "float32"
+            else jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# TPU availability probe — subprocess, so a hung tunnel can be timed out
+# ---------------------------------------------------------------------------
+
+_PROBE_SRC = """
+import os
+import sys
+import jax
+# the sandbox sitecustomize pins jax_platforms via config, which BEATS the
+# env var — re-assert the env so an explicit JAX_PLATFORMS is honored (and
+# so a cpu-only test env deterministically probes cpu-only)
+plats = os.environ.get("JAX_PLATFORMS")
+if plats:
+    jax.config.update("jax_platforms", plats)
+if not any(d.platform != "cpu" for d in jax.devices()):
+    sys.exit(1)
+import jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.bfloat16)
+jax.block_until_ready(x @ x)
+sys.exit(0)
+"""
+
+
+def probe_tpu(probe_timeout=180.0, sleep_s=20.0) -> bool:
+    """Poll for a usable accelerator backend until it answers or the budget
+    drops to RESERVE_S.  Each probe is a subprocess: a relay outage makes
+    backend init HANG (not raise), and only a subprocess can be timed out.
+    An outage consumes waiting time instead of the round's artifact."""
+    attempt = 0
+    while budget_left() > RESERVE_S:
+        attempt += 1
+        t0 = time.time()
+        limit = max(5.0, min(probe_timeout, budget_left() - RESERVE_S))
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=limit, capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        took = time.time() - t0
+        log(f"tpu probe #{attempt}: "
+            f"{'OK' if rc == 0 else f'unavailable ({rc})'} "
+            f"[{took:.0f}s, budget {budget_left():.0f}s]")
+        if rc == 0:
+            return True
+        if took < 10.0:  # fast failure — back off; a timed-out probe IS the wait
+            time.sleep(min(sleep_s, max(0.0, budget_left() - RESERVE_S)))
+    return False
+
+
+# ---------------------------------------------------------------------------
+# one-time prep (runs in a JAX_PLATFORMS=cpu child; fallback: in-process)
+# ---------------------------------------------------------------------------
+
+
+def _source_wavs(cfg):
+    """Deterministic ref/src material — parent and child must agree."""
+    spf = cfg.samples_per_frame
+    rng = np.random.default_rng(0)
+    ref_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+    src_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+    return rng, ref_wav, src_wav
 
 
 def build_converter(key, lm_dtype=jnp.bfloat16, device=None):
@@ -136,37 +186,31 @@ def build_converter(key, lm_dtype=jnp.bfloat16, device=None):
     )
 
 
-def main():
-    from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig, tpu_optimized
+def cpu_prep_snapshot():
+    """Phases 1+2 on the CPU backend: params, reference encoding, prompt
+    prefill, delay prefill, warm-up chunks.  Returns (snapshot, n_warm).
+
+    Runs inside the prep child only — jax_platforms is pinned to cpu there,
+    so `jax.devices("cpu")` / default_device resolve without ever touching
+    the axon tunnel."""
+    from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig
     from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
     from streamvoiceanon_tpu.runtime.streaming import StreamSession
-
-    tpu_dev = jax.devices()[0]
-    cpu_dev = jax.devices("cpu")[0]
-    log(f"devices: tpu={tpu_dev} cpu={cpu_dev}")
-
-    # ---- phase 1: params (numpy, host-side) --------------------------------
     from streamvoiceanon_tpu.utils import randparams as rp
 
     cfg = PipelineConfig()
+    dsp_dtype = _dsp_dtype()
     t0 = time.time()
-    # DSP (tokenizer/vocoder) serving precision: bf16 halves the dominant
-    # weight-streaming traffic of the encode/vocode stages (BENCH.md); the
-    # reference's live GUI likewise serves in fp16 (real-time-gui.py fp16
-    # inference).  Override with BENCH_DSP_DTYPE=float32.
-    dsp_dtype = (jnp.float32 if os.environ.get("BENCH_DSP_DTYPE") == "float32"
-                 else jnp.bfloat16)
     tok_np = rp.tokenizer_params_np(cfg.tokenizer, 1, dtype=dsp_dtype)
     voc_np = rp.vocoder_params_np(cfg.vocoder, 2, dtype=dsp_dtype)
     arvc_np = rp.arvc_params_np(cfg.arvc, 3, jnp.bfloat16)
-    log(f"numpy params: {time.time()-t0:.1f}s (dsp dtype {jnp.dtype(dsp_dtype).name})")
+    log(f"prep: numpy params {time.time()-t0:.1f}s "
+        f"(dsp dtype {jnp.dtype(dsp_dtype).name})")
 
-    # ---- phase 2: one-time prep on the CPU backend -------------------------
     t0 = time.time()
     spf = cfg.samples_per_frame
-    rng = np.random.default_rng(0)
-    ref_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
-    src_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+    rng, ref_wav, src_wav = _source_wavs(cfg)
+    cpu_dev = jax.devices("cpu")[0]
     with jax.default_device(cpu_dev):
         cv_cpu = VoiceConverter(
             cfg=cfg,
@@ -191,18 +235,187 @@ def main():
         n_warm = cfg.stream.delay + 3
         for i in range(n_warm):
             sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
-    log(f"CPU prep (ref enc + prefill + {n_warm} warm chunks): {time.time()-t0:.1f}s")
+        snap = sess.snapshot()
+    log(f"prep: CPU ref enc + prefill + {n_warm} warm chunks "
+        f"{time.time()-t0:.1f}s")
+    return snap, n_warm
 
-    # ---- phase 3+4: transfer to TPU + AOT compiles, with flag fallback -----
+
+def prep_child_main(out_path):
+    """Entry for `bench.py --prep-child OUT`: CPU-only prep process."""
+    # the env var alone is NOT enough — the sandbox sitecustomize pins
+    # jax_platforms via jax.config, which beats JAX_PLATFORMS; re-pin to cpu
+    # before the first backend touch
+    jax.config.update("jax_platforms", "cpu")
+    snap, n_warm = cpu_prep_snapshot()
+    with open(out_path, "wb") as f:
+        pickle.dump({"snapshot": snap, "n_warm": n_warm}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+    log(f"prep child: wrote {out_path} "
+        f"({os.path.getsize(out_path)/1e6:.0f} MB)")
+
+
+# ---------------------------------------------------------------------------
+# result bookkeeping
+# ---------------------------------------------------------------------------
+
+
+def update_best(results, scan_results=None):
+    """results: {M: (period_s, p50_latency_s)} per-chunk-dispatch fetch
+    groups; scan_results: {G: (period_s, group_latency_s)} scan-dispatch
+    groups (one program dispatch + one fetch per G chunks).
+
+    Two first-class numbers (VERDICT r2 weak #5 / next #8):
+    * headline `value` — lowest sustained period across all modes;
+    * `realtime_*` — lowest period among modes whose delivery latency fits
+      the 46.44 ms frame budget (the live-viable operating point,
+      real-time-gui.py:219-229's constraint)."""
+    global _best
+    cands = []  # (period_s, latency_s, mode description)
+    for m, (period, lat) in results.items():
+        desc = ("M=1 per-chunk fetch" if m == 1 else
+                f"device-concat fetch M={m}")
+        cands.append((period, lat, desc))
+    for g, (period, lat) in (scan_results or {}).items():
+        cands.append((period, lat,
+                      f"scan-dispatch group G={g} (one dispatch+fetch per {g} chunks)"))
+    if not cands:
+        return
+    period, lat, desc = min(cands, key=lambda c: c[0])
+    rtf = period / FRAME_SECONDS
+    m1 = results.get(1)
+    m1_txt = (f"; M=1: RTF {m1[0]/FRAME_SECONDS:.2f} at {m1[1]*1e3:.0f}ms"
+              if m1 else "")
+    entry = {
+        "metric": "streaming_rtf_chunk1",
+        "value": round(rtf, 4),
+        "unit": (f"sustained chunk period / 46.44ms frame ({desc}, delivery "
+                 f"latency {lat*1e3:.0f}ms{m1_txt})"),
+        "vs_baseline": round(1.0 / rtf, 2) if rtf > 0 else None,
+    }
+    rt = [c for c in cands if c[1] <= FRAME_SECONDS]
+    if rt:
+        p_rt, l_rt, d_rt = min(rt, key=lambda c: c[0])
+        entry["realtime_rtf"] = round(p_rt / FRAME_SECONDS, 4)
+        entry["realtime_latency_ms"] = round(l_rt * 1e3, 1)
+        entry["realtime_mode"] = d_rt
+    else:
+        entry["realtime_rtf"] = None
+        entry["realtime_mode"] = "none: no mode delivered within the 46.44ms frame budget"
+    with _best_lock:
+        if _best is not None and "device_floor" in _best:
+            entry["device_floor"] = _best["device_floor"]
+        _best = entry
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+
+def main():
+    from dataclasses import replace as _rep
+
+    from streamvoiceanon_tpu.config import PipelineConfig, tpu_optimized
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+    from streamvoiceanon_tpu.runtime.streaming import (
+        StreamSession, _decode_vocode_inc, _encode_inc,
+    )
+    from streamvoiceanon_tpu.utils import randparams as rp
+
+    global _best
+    cfg = PipelineConfig()
+    dsp_dtype = _dsp_dtype()
+    spf = cfg.samples_per_frame
+    rng, ref_wav, src_wav = _source_wavs(cfg)
+
+    # ---- phase 0: CPU prep child + TPU probe, concurrently ----------------
+    # NO jax backend touch in this process until the probe says OK: during a
+    # relay outage the first touch blocks for ~25 min (round-2 postmortem).
+    prep_path = f"/tmp/bench_prep_{os.getpid()}.pkl"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--prep-child", prep_path],
+        env=env, stdout=sys.stderr, stderr=sys.stderr,
+    )
+    log(f"prep child spawned (pid {child.pid}); probing TPU")
+
+    # parent's own param copies (pure numpy, no backend) for the TPU-side
+    # converter — same seeds/dtypes as the child, so state and params agree
+    t0 = time.time()
+    tok_np = rp.tokenizer_params_np(cfg.tokenizer, 1, dtype=dsp_dtype)
+    voc_np = rp.vocoder_params_np(cfg.vocoder, 2, dtype=dsp_dtype)
+    arvc_np = rp.arvc_params_np(cfg.arvc, 3, jnp.bfloat16)
+    log(f"numpy params: {time.time()-t0:.1f}s (dsp dtype {jnp.dtype(dsp_dtype).name})")
+
+    if not probe_tpu():
+        try:
+            child.kill()
+        except Exception:  # noqa: BLE001
+            pass
+        with _best_lock:
+            _best = {
+                "metric": "streaming_rtf_chunk1",
+                "value": None,
+                "unit": "skipped: tpu backend unavailable for the whole run",
+                "vs_baseline": None,
+                "skipped": (f"tpu backend unavailable after "
+                            f"{time.time()-T_START:.0f}s of subprocess probes"),
+            }
+        log("TPU never became available — emitting explicit skip marker")
+        _emit(0)
+
+    # backend confirmed up — first in-process touch is now safe
+    tpu_dev = jax.devices()[0]
+    log(f"devices: tpu={tpu_dev}")
+
+    # ---- phase 2: collect the prep snapshot --------------------------------
+    # The fallback is a child RETRY, not in-process prep: the parent's
+    # jax_platforms may be pinned to the accelerator only (no cpu platform),
+    # and post-init it cannot be re-pinned.
+    snap = n_warm = None
+    for round_no in (1, 2):
+        try:
+            child.wait(timeout=max(60.0, budget_left() - 240.0))
+            if child.returncode == 0:
+                with open(prep_path, "rb") as f:
+                    blob = pickle.load(f)
+                snap, n_warm = blob["snapshot"], blob["n_warm"]
+                log("prep snapshot loaded from child")
+        except subprocess.TimeoutExpired:
+            child.kill()
+            log("prep child timed out — killed")
+        except Exception as e:  # noqa: BLE001
+            log(f"prep snapshot load failed ({type(e).__name__}: {e})")
+        finally:
+            try:
+                os.unlink(prep_path)
+            except OSError:
+                pass
+        if snap is not None or round_no == 2 or budget_left() < 300:
+            break
+        log("retrying prep child once")
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--prep-child", prep_path],
+            env=env, stdout=sys.stderr, stderr=sys.stderr,
+        )
+    if snap is None:
+        with _best_lock:
+            _best = {
+                "metric": "streaming_rtf_chunk1",
+                "value": None,
+                "unit": "skipped: cpu prep failed twice",
+                "vs_baseline": None,
+                "skipped": "cpu prep child failed twice — see stderr",
+            }
+        log("prep failed twice — emitting explicit skip marker")
+        _emit(0)
+
+    # ---- phase 3+4: restore onto TPU + AOT compiles, with flag fallback ----
     # The tpu_optimized program set routes the LM hot loops through the
     # Pallas kernels; if a kernel fails to compile on this backend (new
     # kernels land every round), fall back to a reduced flag set rather than
     # losing the round's artifact.
-    from dataclasses import replace as _rep
-
-    from streamvoiceanon_tpu.runtime.streaming import _decode_vocode_inc, _encode_inc
-
-    sess_cpu = sess
     chunk_dev = jax.device_put(jnp.zeros((1, spf), jnp.float32), tpu_dev)
     toks_dev = jax.device_put(jnp.zeros((1, 1), jnp.int32), tpu_dev)
 
@@ -228,8 +441,7 @@ def main():
                 vocoder_params=jax.device_put(voc_np, tpu_dev),
                 arvc_params=jax.device_put(arvc_np, tpu_dev),
             )
-            s_try = sess_cpu.transfer(cv_try, tpu_dev)
-            s_try.tokens_seen = n_warm
+            s_try = StreamSession.restore(cv_try, snap, tpu_dev)
             jax.block_until_ready(s_try.fstate)
             fs = s_try.fstate
             # AOT-compile the two per-chunk programs in parallel threads —
@@ -445,17 +657,40 @@ def main():
                 np.asarray(null_jit(chunks_dev))
                 null = min(null, (time.perf_counter() - t0) / K)
             compute = max(floor - null, 0.0)
+            # static roofline model for the composite per-chunk program:
+            # achieved HBM bandwidth = modeled moved-bytes / measured compute
+            roofline = None
+            try:
+                from streamvoiceanon_tpu.utils.roofline import (
+                    chunk_roofline, device_peaks,
+                )
+                roofline = chunk_roofline(
+                    cfg_tpu, cv_tpu.tokenizer_params, cv_tpu.arvc_params,
+                    cv_tpu.vocoder_params, fstate=sess.fstate,
+                    compute_s=compute, peaks=device_peaks(tpu_dev),
+                )
+            except Exception as e:  # noqa: BLE001
+                log(f"roofline model failed ({type(e).__name__}: {e})")
             with _best_lock:
                 if _best is not None:
+                    _best["device_floor"] = {
+                        "ms_per_chunk": round(floor * 1e3, 3),
+                        "rtf": round(floor / FRAME_SECONDS, 4),
+                        "pure_compute_ms": round(compute * 1e3, 3),
+                        "method": (f"lax.scan x{K}, one dispatch+fetch; null-"
+                                   f"program dispatch+fetch subtracted"),
+                    }
+                    if roofline is not None:
+                        _best["roofline"] = roofline
                     _best["unit"] += (
                         f"; device floor {floor*1e3:.2f} ms/chunk = RTF "
-                        f"{floor/FRAME_SECONDS:.3f} (lax.scan x{K}, one "
-                        f"dispatch+fetch; {compute*1e3:.2f} ms pure device "
-                        f"compute after subtracting the null-program "
-                        f"dispatch+fetch)")
+                        f"{floor/FRAME_SECONDS:.3f} ({compute*1e3:.2f} ms pure "
+                        f"device compute)")
             log(f"device floor: {floor*1e3:.2f} ms/chunk "
                 f"RTF={floor/FRAME_SECONDS:.3f} "
                 f"(pure compute {compute*1e3:.2f} ms)")
+            if roofline is not None:
+                log(f"roofline: {json.dumps(roofline)}")
         except Exception as e:  # noqa: BLE001
             log(f"device-floor phase failed ({type(e).__name__}: {e}) — "
                 f"keeping M-mode result")
@@ -464,6 +699,16 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--prep-child":
+        # no alarm: the parent owns the deadline and kills us if needed
+        try:
+            prep_child_main(sys.argv[2])
+            os._exit(0)
+        except Exception:  # noqa: BLE001
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            os._exit(1)
+    _arm_signals()
     try:
         main()
     except Exception as e:  # noqa: BLE001

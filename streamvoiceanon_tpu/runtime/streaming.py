@@ -285,6 +285,56 @@ class StreamSession:
             new.code_window = put(self.code_window)
         return new
 
+    # ------------------------------------------------------------------
+    # snapshot / restore (process-portable session state)
+    # ------------------------------------------------------------------
+
+    def snapshot(self) -> dict:
+        """Host-side snapshot of the full stream state: numpy pytrees plus
+        host counters, picklable and process-portable.
+
+        Pair with `restore` to move a live session across processes and
+        backends.  bench.py uses this to run the one-time prep (prompt
+        prefill, delay prefill, warm-up) in a JAX_PLATFORMS=cpu subprocess —
+        during an axon relay outage, backend discovery in the main process
+        blocks on the tunnel, so prep must not touch it (round-2 postmortem:
+        BENCH_r02.json lost to exactly that).  Also usable as a stream
+        checkpoint (save mid-stream, resume later)."""
+        assert self.incremental, "snapshot supports incremental mode"
+        tonp = lambda t: jax.tree.map(np.asarray, t)
+        return {
+            "attrs": dict(
+                cfg=self.cfg, scfg=self.scfg, sampling=self.sampling,
+                spf=self.spf, delay=self.delay, incremental=True,
+                state_dtype=self.state_dtype, batch=self.batch,
+                tok_ring_len=self.tok_ring_len, tokens_seen=self.tokens_seen,
+                frames_decoded=self.frames_decoded,
+                delay_prefilled=self.delay_prefilled,
+                _lm_pos_host=self._lm_pos_host, Tp=self.Tp,
+            ),
+            "arrays": dict(
+                key=np.asarray(self.key),
+                ref_tokens=np.asarray(self.ref_tokens),
+                ref_codes=np.asarray(self.ref_codes),
+                style=None if self.style is None else np.asarray(self.style),
+                timbre=None if self.timbre is None else np.asarray(self.timbre),
+                fstate=tonp(self.fstate),
+                _mel_consts=tonp(self._mel_consts),
+            ),
+        }
+
+    @classmethod
+    def restore(cls, converter, snap: dict, device) -> "StreamSession":
+        """Rebuild a session from `snapshot()` output onto `device`, bound to
+        `converter` (same model geometry; program-selection flags may differ
+        — the KV/ring/head layouts are migrated exactly as in `transfer`)."""
+        sess = object.__new__(cls)
+        sess.__dict__.update(snap["attrs"])
+        for k, v in snap["arrays"].items():
+            setattr(sess, k, v)
+        sess.cv = converter  # rebound (with layout migration) by transfer
+        return sess.transfer(converter, device)
+
     def _lm_state(self):
         return self.fstate.lm if self.incremental else self.state
 

@@ -222,3 +222,44 @@ def test_truncation_counter_default_path(cv, rng):
     # every windowed sample truncates (9 samples per decoded frame)
     assert counts["windowed"] > 0
     assert counts["exact"] == 0
+
+
+def test_snapshot_restore_continues_identically(cv, rng):
+    """snapshot() -> pickle -> restore() must continue the stream exactly
+    where it left off (same codes, same wav) — the process-portable prep
+    path bench.py uses to survive relay outages, and a stream checkpoint."""
+    import pickle
+
+    delay, Ls = 2, 8
+    ref_wav = _rand_wav(rng, 4)
+    src_wav = _rand_wav(rng, Ls)
+    ref_tokens = cv.content_tokens(jnp.asarray(ref_wav)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref_wav)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+    scfg = StreamConfig(max_prompt_frames=32, max_seq_frames=10_000,
+                        buffer_frames=4, decode_chunk_frames=1, delay=delay)
+
+    def mk():
+        return StreamSession(
+            cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+            style=style, timbre=timbre, ref_tokens=ref_tokens,
+            ref_codes=ref_codes,
+        )
+
+    a = mk()
+    for i in range(4):
+        a.process_chunk(src_wav[i * SPF : (i + 1) * SPF])
+    blob = pickle.dumps(a.snapshot())
+
+    b = StreamSession.restore(cv, pickle.loads(blob), jax.devices()[0])
+    outs_a = [a.process_chunk(src_wav[i * SPF : (i + 1) * SPF])
+              for i in range(4, Ls)]
+    outs_b = [b.process_chunk(src_wav[i * SPF : (i + 1) * SPF])
+              for i in range(4, Ls)]
+    np.testing.assert_array_equal(
+        np.asarray(a.fstate.code_ring), np.asarray(b.fstate.code_ring))
+    np.testing.assert_allclose(
+        np.concatenate(outs_a), np.concatenate(outs_b), atol=0)
+    assert b.tokens_seen == a.tokens_seen
+    assert b._lm_pos_host == a._lm_pos_host
