@@ -17,7 +17,8 @@ import sys
 import time
 
 
-def build_converter_from_ckpts(ckpt_dir: str | None, seed: int = 0):
+def build_converter_from_ckpts(ckpt_dir: str | None, seed: int = 0,
+                               lenient: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -63,13 +64,29 @@ def build_converter_from_ckpts(ckpt_dir: str | None, seed: int = 0):
             sd = sd["net"]
         return {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
 
-    tok = convert.tokenizer(load("asr_s2s_bsq_8192_causal_down_whisper.pth"), cfg.tokenizer)
-    voc = convert.vocoder(
-        load("firefly-gan-vq-fsq-8x1024-21hz-generator.pth"), cfg.vocoder
-    )
-    arvc_p = arvc_mod.prepare_params(convert.arvc(load("dual_ar_delay_0_8.pth"), cfg.arvc))
-    camp = campplus_mod.convert(load("campplus_cn_common.bin"), cfg.campplus)
-    spk = spk_mod.convert(load("spark_speaker_encoder.pth"), cfg.speaker)
+    # Strict key coverage: every checkpoint key must be consumed by its
+    # converter (the reference load path drops orphans silently via
+    # strict=False, infer_arvc.py:70-83 — ours refuses and lists them;
+    # lenient=True downgrades to a printed report)
+    def strict(fn, name, ccfg):
+        params, leftover = convert.convert_with_coverage(fn, load(name), ccfg)
+        if leftover:
+            msg = (f"[ckpt] {name}: {len(leftover)} unconsumed key(s): "
+                   f"{', '.join(leftover[:12])}{' ...' if len(leftover) > 12 else ''}")
+            if lenient:
+                print(msg, file=sys.stderr)
+            else:
+                raise KeyError(msg + "  (pass --lenient-ckpt to load anyway)")
+        return params
+
+    tok = strict(convert.tokenizer, "asr_s2s_bsq_8192_causal_down_whisper.pth",
+                 cfg.tokenizer)
+    voc = strict(convert.vocoder, "firefly-gan-vq-fsq-8x1024-21hz-generator.pth",
+                 cfg.vocoder)
+    arvc_p = arvc_mod.prepare_params(
+        strict(convert.arvc, "dual_ar_delay_0_8.pth", cfg.arvc))
+    camp = strict(campplus_mod.convert, "campplus_cn_common.bin", cfg.campplus)
+    spk = strict(spk_mod.convert, "spark_speaker_encoder.pth", cfg.speaker)
     import jax
 
     from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
@@ -88,7 +105,8 @@ def cmd_convert(args):
     from streamvoiceanon_tpu.audio.io import read_wav, write_wav
     from streamvoiceanon_tpu.config import SamplingConfig, preset
 
-    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed,
+                                lenient=getattr(args, 'lenient_ckpt', False))
     src, sr = read_wav(args.src, target_sr=cv.cfg.sample_rate)
     refs = [read_wav(p, target_sr=cv.cfg.sample_rate)[0] for p in args.ref]
     key = jax.random.PRNGKey(args.seed)
@@ -129,7 +147,8 @@ def cmd_batch(args):
     from streamvoiceanon_tpu.audio.io import read_wav, write_wav
     from streamvoiceanon_tpu.config import SamplingConfig
 
-    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed,
+                                lenient=getattr(args, 'lenient_ckpt', False))
     sampling = SamplingConfig(temperature=args.temperature, top_p=args.top_p)
     os.makedirs(args.out_dir, exist_ok=True)
     with open(args.meta) as f:
@@ -155,7 +174,8 @@ def cmd_anonymize(args):
     from streamvoiceanon_tpu.audio.io import read_wav
     from streamvoiceanon_tpu.evals.anonymize import anonymize_kaldi_dir
 
-    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed,
+                                lenient=getattr(args, 'lenient_ckpt', False))
     targets = [read_wav(p, target_sr=cv.cfg.sample_rate)[0] for p in args.target_refs]
     anonymize_kaldi_dir(
         cv, args.data_dir, args.out_dir, targets,
@@ -181,7 +201,8 @@ def cmd_evaluate(args):
     )
 
     if args.ckpt_dir:
-        cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+        cv = build_converter_from_ckpts(args.ckpt_dir, args.seed,
+                                lenient=getattr(args, 'lenient_ckpt', False))
         cp_params, cp_cfg = cv.campplus_params, cv.cfg.campplus
     else:
         from streamvoiceanon_tpu.config import PipelineConfig
@@ -276,7 +297,8 @@ def cmd_live(args):
 
     if not args.ref:
         raise SystemExit("live: --ref is required (unless --list-devices)")
-    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed)
+    cv = build_converter_from_ckpts(args.ckpt_dir, args.seed,
+                                lenient=getattr(args, 'lenient_ckpt', False))
     app = live_mod.LiveApp(cv, args.preset, seed=args.seed)
 
     refs = [read_wav(p, target_sr=cv.cfg.sample_rate)[0] for p in args.ref]
@@ -340,6 +362,9 @@ def main(argv=None):
     b.add_argument("--meta", required=True)
     b.add_argument("--out-dir", default="audio_outputs")
     b.add_argument("--ckpt-dir")
+    b.add_argument("--lenient-ckpt", action="store_true",
+                    help="warn (instead of error) on checkpoint keys the "
+                         "converters did not consume")
     b.add_argument("--delay", type=int, default=2)
     b.add_argument("--alpha", type=float, default=1.0)
     b.add_argument("--temperature", type=float, default=0.7)
@@ -352,6 +377,9 @@ def main(argv=None):
     c.add_argument("--ref", required=True, nargs="+")
     c.add_argument("--out")
     c.add_argument("--ckpt-dir")
+    c.add_argument("--lenient-ckpt", action="store_true",
+                    help="warn (instead of error) on checkpoint keys the "
+                         "converters did not consume")
     c.add_argument("--delay", type=int, default=None)
     c.add_argument("--alpha", type=float, default=None)
     c.add_argument("--preset", choices=["max_privacy", "balanced", "max_quality", "low_latency"])
@@ -371,6 +399,9 @@ def main(argv=None):
     a.add_argument("--target-refs", required=True, nargs="+",
                    help="target-speaker reference wavs (pseudo-speaker pool)")
     a.add_argument("--ckpt-dir")
+    a.add_argument("--lenient-ckpt", action="store_true",
+                    help="warn (instead of error) on checkpoint keys the "
+                         "converters did not consume")
     a.add_argument("--delay", type=int, default=2)
     a.add_argument("--alpha", type=float, default=0.7)
     a.add_argument("--seed", type=int, default=0)
@@ -406,6 +437,9 @@ def main(argv=None):
                    default=["neu", "hap", "sad", "ang"])
     e.add_argument("--sample-rate", type=int, default=44100)
     e.add_argument("--ckpt-dir")
+    e.add_argument("--lenient-ckpt", action="store_true",
+                    help="warn (instead of error) on checkpoint keys the "
+                         "converters did not consume")
     e.add_argument("--seed", type=int, default=0)
     e.set_defaults(fn=cmd_evaluate)
 
@@ -428,6 +462,9 @@ def main(argv=None):
     lv.add_argument("--hostapi")
     lv.add_argument("--list-devices", action="store_true")
     lv.add_argument("--ckpt-dir")
+    lv.add_argument("--lenient-ckpt", action="store_true",
+                    help="warn (instead of error) on checkpoint keys the "
+                         "converters did not consume")
     lv.add_argument("--seed", type=int, default=0)
     lv.set_defaults(fn=cmd_live)
 

@@ -166,13 +166,12 @@ def _t_conv1d_w(sd, prefix) -> np.ndarray:
 def convert(sd, cfg: CAMPPlusConfig) -> Dict:
     """Reference CAMPPlus state_dict -> params (handles the repo's key remap
     of stats/dense, DTDNN.py:113-130)."""
-    from streamvoiceanon_tpu.runtime.convert import to_numpy
+    from streamvoiceanon_tpu.runtime.convert import rename_keys, to_numpy
 
-    sd = to_numpy(sd)
-    sd = {
-        k.replace("xvector.stats", "stats").replace("xvector.dense", "dense"): v
-        for k, v in sd.items()
-    }
+    sd = rename_keys(
+        to_numpy(sd),
+        lambda k: k.replace("xvector.stats", "stats").replace("xvector.dense", "dense"),
+    )
 
     def res_block(prefix):
         p = {

@@ -89,6 +89,32 @@ def ecapa_latents(params: Dict, mel: jax.Array, bn_fn=_bn) -> jax.Array:
     return jax.nn.relu(_conv1d(cat, params["conv_w"], params["conv_b"]))
 
 
+def x_vector(params: Dict, mel: jax.Array) -> jax.Array:
+    """Pooled speaker embedding (B, embed_dim) — the reference forward()'s
+    first output (ecapa_tdnn.py:191-206): ECAPA latents -> ASTP attentive
+    statistics pooling with global context (pooling_layers.py:92-144,
+    global_context_att=True in the GLOB_c512 variant) -> BN -> linear.
+    Unused by the timbre/tokenize path, kept for checkpoint completeness."""
+    lat = ecapa_latents(params["ecapa"], mel)  # (B, T, C) channels-last
+    xv = params["xvec"]
+    # global context: per-channel mean/std over time, broadcast along T
+    mean_c = jnp.mean(lat, axis=1, keepdims=True)
+    std_c = jnp.sqrt(jnp.var(lat, axis=1, keepdims=True) + 1e-7)
+    ones = jnp.ones_like(lat)
+    x_in = jnp.concatenate([lat, mean_c * ones, std_c * ones], axis=-1)
+    # k=1 convs are dense layers on the channel dim (channels-last)
+    alpha = jnp.tanh(x_in @ xv["pool_lin1_w"][0] + xv["pool_lin1_b"])
+    alpha = jax.nn.softmax(alpha @ xv["pool_lin2_w"][0] + xv["pool_lin2_b"], axis=1)
+    mean = jnp.sum(alpha * lat, axis=1)
+    var = jnp.sum(alpha * lat * lat, axis=1) - mean * mean
+    std = jnp.sqrt(jnp.clip(var, 1e-7))
+    out = _bn(xv["bn"], jnp.concatenate([mean, std], axis=-1))
+    out = out @ xv["lin_w"] + xv["lin_b"]
+    if "bn2" in xv:
+        out = _bn(xv["bn2"], out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Perceiver resampler
 # ---------------------------------------------------------------------------
@@ -260,6 +286,25 @@ def convert(sd, cfg: SpeakerEncoderConfig) -> Dict:
             "b": sd["quantizer.project_out.bias"],
         }
 
+    # x-vector head: ASTP attentive-stats pooling + BN + linear
+    # (ecapa_tdnn.py:179-206).  The timbre path discards its output
+    # (speaker_encoder.py:131 `_, features = ...`), but the published
+    # checkpoint contains the weights — consume them and expose `x_vector`
+    # so the key-coverage contract holds and the reference's forward()
+    # x_vector output stays available.
+    xvec = {
+        "pool_lin1_w": conv_w(f"{e}.pool.linear1"),  # (1, in, bott) k=1 conv
+        "pool_lin1_b": sd[f"{e}.pool.linear1.bias"],
+        "pool_lin2_w": conv_w(f"{e}.pool.linear2"),
+        "pool_lin2_b": sd[f"{e}.pool.linear2.bias"],
+        "bn": bn(f"{e}.bn"),
+        "lin_w": lin_w(f"{e}.linear"),
+        "lin_b": sd[f"{e}.linear.bias"],
+    }
+    if f"{e}.bn2.running_mean" in sd:  # emb_bn variant
+        xvec["bn2"] = bn(f"{e}.bn2")
+
     return jax.tree.map(
-        jnp.asarray, {"ecapa": ecapa, "perceiver": perceiver_p, "fsq": fsq_p}
+        jnp.asarray,
+        {"ecapa": ecapa, "perceiver": perceiver_p, "fsq": fsq_p, "xvec": xvec},
     )

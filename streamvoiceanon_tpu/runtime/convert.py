@@ -16,6 +16,7 @@ torch.nn.utils.parametrizations.weight_norm as used in firefly.py).
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Dict, List
 
 import numpy as np
@@ -32,7 +33,10 @@ from streamvoiceanon_tpu.config import (
 
 
 def to_numpy(sd: Dict) -> Dict[str, np.ndarray]:
-    """Accepts a torch state_dict or a dict of arrays; returns numpy dict."""
+    """Accepts a torch state_dict or a dict of arrays; returns numpy dict.
+    A CoverageDict passes through unchanged (already numpy, keeps tracking)."""
+    if isinstance(sd, CoverageDict):
+        return sd
     out = {}
     for k, v in sd.items():
         if hasattr(v, "detach"):
@@ -42,6 +46,129 @@ def to_numpy(sd: Dict) -> Dict[str, np.ndarray]:
             v = v.numpy()
         out[k] = np.asarray(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Key-coverage contract (VERDICT r2 next #7)
+#
+# The reference loads checkpoints non-strict (evaluations/infer_arvc.py:70-83,
+# 160-165), silently dropping keys a rename or geometry mismatch orphaned.
+# Here every converter can run under a CoverageDict that records exactly which
+# checkpoint keys were consumed; convert_strict() then refuses a load that
+# leaves keys behind, listing them — no silent drops.
+# ---------------------------------------------------------------------------
+
+
+class CoverageDict:
+    """Read-tracking view over a numpy state_dict.
+
+    Plain `sd[k]` / `sd.get(k)` accesses mark `k` (resolved to the ORIGINAL
+    checkpoint key through renames/subsets) as consumed; membership tests and
+    iteration do not.  `subset`/`rename` build linked views that report reads
+    into the same root `read` set, so prefix-stripping (arvc decoder.*) and
+    key remaps (campplus xvector.*) keep the contract intact."""
+
+    def __init__(self, data: Dict[str, np.ndarray], _read=None, _alias=None):
+        self._d = dict(data)
+        self.read = set() if _read is None else _read
+        self._alias = _alias or {}
+
+    def __getitem__(self, k):
+        v = self._d[k]
+        self.read.add(self._alias.get(k, k))
+        return v
+
+    def get(self, k, default=None):
+        return self[k] if k in self._d else default
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def __iter__(self):
+        return iter(self._d)
+
+    def __len__(self):
+        return len(self._d)
+
+    def keys(self):
+        return self._d.keys()
+
+    def values(self):  # untracked — only converters' key plumbing uses it
+        return self._d.values()
+
+    def items(self):  # untracked — used for prefix filtering, not reads
+        return self._d.items()
+
+    def subset(self, prefix: str) -> "CoverageDict":
+        sub, alias = {}, {}
+        for k, v in self._d.items():
+            if k.startswith(prefix):
+                kk = k[len(prefix):]
+                sub[kk] = v
+                alias[kk] = self._alias.get(k, k)
+        return CoverageDict(sub, _read=self.read, _alias=alias)
+
+    def rename(self, fn: Callable[[str], str]) -> "CoverageDict":
+        sub, alias = {}, {}
+        for k, v in self._d.items():
+            kk = fn(k)
+            sub[kk] = v
+            alias[kk] = self._alias.get(k, k)
+        return CoverageDict(sub, _read=self.read, _alias=alias)
+
+    def unread(self):
+        return sorted(set(self._alias.get(k, k) for k in self._d) - self.read)
+
+
+def strip_prefix(sd, prefix: str):
+    """Subset `sd` to keys under `prefix` (tracking-preserving)."""
+    if isinstance(sd, CoverageDict):
+        return sd.subset(prefix)
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def rename_keys(sd, fn: Callable[[str], str]):
+    """Remap keys of `sd` (tracking-preserving)."""
+    if isinstance(sd, CoverageDict):
+        return sd.rename(fn)
+    return {fn(k): v for k, v in sd.items()}
+
+
+# torch bookkeeping / derived-constant buffers no converter should consume
+DEFAULT_IGNORED_KEYS = (
+    r"\.num_batches_tracked$",
+    r"(^|\.)freqs_cis$",      # precomputed rope buffers, rebuilt natively
+    r"(^|\.)causal_mask$",
+    # BSQ bit-weight constant 2**arange(bits) (reference bsq.py:230),
+    # derived from codebook_bits in ops/quantizers.lfq_encode
+    r"\.rvqs\.\d+\.mask$",
+)
+
+
+def convert_with_coverage(fn: Callable, sd: Dict, *args, ignore=DEFAULT_IGNORED_KEYS,
+                          **kw):
+    """Run converter `fn(sd, *args, **kw)` under read tracking.
+
+    Returns (params, leftover): `leftover` is every checkpoint key the
+    converter never consumed (after dropping `ignore` patterns)."""
+    cov = CoverageDict(to_numpy(sd))
+    params = fn(cov, *args, **kw)
+    leftover = [k for k in cov.unread()
+                if not any(re.search(p, k) for p in ignore)]
+    return params, leftover
+
+
+def convert_strict(fn: Callable, sd: Dict, *args, ignore=DEFAULT_IGNORED_KEYS, **kw):
+    """Like `fn(sd, ...)` but refuses loads that leave checkpoint keys
+    unconsumed — the strict counterpart of the reference's non-strict
+    `load_state_dict(..., strict=False)` (infer_arvc.py:70-83)."""
+    params, leftover = convert_with_coverage(fn, sd, *args, ignore=ignore, **kw)
+    if leftover:
+        shown = ", ".join(leftover[:12]) + (" ..." if len(leftover) > 12 else "")
+        raise KeyError(
+            f"checkpoint has {len(leftover)} key(s) the converter never "
+            f"consumed (silent drops disallowed): {shown}")
+    return params
 
 
 def _weight(sd: Dict[str, np.ndarray], prefix: str) -> np.ndarray:
@@ -318,8 +445,5 @@ def arvc(sd, cfg: ARVCConfig) -> Dict:
         "embedding": embedding(sd, "embedding"),
         "context_in": linear(sd, "context_in"),
         "style_in": linear(sd, "style_in"),
-        "decoder": dual_ar_wrapper(
-            {k[len("decoder.") :]: v for k, v in sd.items() if k.startswith("decoder.")},
-            cfg.decoder,
-        ),
+        "decoder": dual_ar_wrapper(strip_prefix(sd, "decoder."), cfg.decoder),
     }

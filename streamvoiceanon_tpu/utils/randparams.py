@@ -319,4 +319,10 @@ def speaker_encoder_params_np(cfg, seed: int = 0, dtype=np.float32) -> Dict:
         "project_in": {"w": r.n(d, len(cfg.fsq_levels)), "b": r.zeros(len(cfg.fsq_levels))},
         "project_out": {"w": r.n(len(cfg.fsq_levels), d), "b": r.zeros(d)},
     }
-    return {"ecapa": ecapa, "perceiver": perceiver, "fsq": fsq}
+    xvec = {  # ASTP (global-context) + BN + linear head, ecapa_tdnn.py:179-206
+        "pool_lin1_w": r.n(1, 3 * 1536, 128), "pool_lin1_b": r.zeros(128),
+        "pool_lin2_w": r.n(1, 128, 1536), "pool_lin2_b": r.zeros(1536),
+        "bn": bn(2 * 1536),
+        "lin_w": r.n(2 * 1536, cfg.out_dim), "lin_b": r.zeros(cfg.out_dim),
+    }
+    return {"ecapa": ecapa, "perceiver": perceiver, "fsq": fsq, "xvec": xvec}

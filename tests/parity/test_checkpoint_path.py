@@ -103,7 +103,29 @@ def test_full_checkpoint_load_path(tmp_path, rng):
     torch.save(campplus_ref.state_dict(), tmp_path / "campplus_cn_common.bin")
     torch.save(Spk().state_dict(), tmp_path / "spark_speaker_encoder.pth")
 
-    # ---- load through the CLI's checkpoint path and run a conversion
+    # ---- key-coverage contract (VERDICT r2 next #7): every key of every
+    # published-geometry state_dict must be consumed by its converter — the
+    # strict counterpart of the reference's silent strict=False load
+    # (infer_arvc.py:70-83,160-165)
+    from streamvoiceanon_tpu.config import PipelineConfig
+    from streamvoiceanon_tpu.models import campplus as campplus_mod
+    from streamvoiceanon_tpu.models import speaker_encoder as spk_mod
+    from streamvoiceanon_tpu.runtime import convert
+
+    cfg = PipelineConfig()
+    manifests = {
+        "tokenizer": (convert.tokenizer, Tok().state_dict(), cfg.tokenizer),
+        "vocoder": (convert.vocoder, Voc().state_dict(), cfg.vocoder),
+        "arvc": (convert.arvc, arvc_ref.state_dict(), cfg.arvc),
+        "campplus": (campplus_mod.convert, campplus_ref.state_dict(), cfg.campplus),
+        "speaker": (spk_mod.convert, Spk().state_dict(), cfg.speaker),
+    }
+    for name, (fn, sd, ccfg) in manifests.items():
+        assert len(sd) > 0
+        _, leftover = convert.convert_with_coverage(fn, sd, ccfg)
+        assert leftover == [], f"{name}: unconsumed checkpoint keys {leftover[:20]}"
+
+    # ---- load through the CLI's checkpoint path (strict mode) and convert
     from streamvoiceanon_tpu.cli import build_converter_from_ckpts
 
     cv = build_converter_from_ckpts(str(tmp_path))
@@ -118,3 +140,34 @@ def test_full_checkpoint_load_path(tmp_path, rng):
     timbre = cv.timbre_latents(jnp.asarray(w16)[None])
     assert style.shape == (1, 192) and timbre.shape == (1, 32, 128)
     assert np.isfinite(np.asarray(style)).all()
+
+
+def test_coverage_dict_mechanics():
+    """CoverageDict tracking survives subset/rename views; convert_strict
+    refuses a state_dict with an orphan key and names it."""
+    import numpy as np
+    import pytest as _pt
+
+    from streamvoiceanon_tpu.runtime.convert import (
+        CoverageDict, convert_strict, convert_with_coverage,
+    )
+
+    sd = {"a.weight": np.ones(2), "decoder.b.weight": np.ones(2),
+          "decoder.extra": np.ones(1), "bn.num_batches_tracked": np.ones(1)}
+
+    def conv(d):
+        sub = d.subset("decoder.") if isinstance(d, CoverageDict) else d
+        return {"a": d["a.weight"], "b": sub["b.weight"]}
+
+    params, leftover = convert_with_coverage(conv, sd)
+    # the orphan under the stripped prefix is reported with its ORIGINAL key;
+    # torch bookkeeping buffers are ignored by default
+    assert leftover == ["decoder.extra"]
+    with _pt.raises(KeyError, match="decoder.extra"):
+        convert_strict(conv, sd)
+
+    # rename view forwards reads to original names too
+    cov = CoverageDict({"xvector.w": np.ones(1)})
+    renamed = cov.rename(lambda k: k.replace("xvector.", ""))
+    _ = renamed["w"]
+    assert cov.unread() == []

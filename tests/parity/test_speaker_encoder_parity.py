@@ -114,3 +114,17 @@ def test_mel_center_matches_torch_semantics(rng):
     golden = spec @ fb
     assert ours.shape == golden.shape == (1, 16000 // 320 + 1, 128)
     np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parity
+def test_x_vector_parity(ref_and_params, rng):
+    """Pooled x-vector head (ASTP global-context + BN + linear) — the
+    reference forward()'s first output (ecapa_tdnn.py:191-206).  Unused by
+    the timbre path but part of the published checkpoint; the key-coverage
+    contract requires it be consumed AND correct."""
+    ref, params = ref_and_params
+    mel = rng.standard_normal((2, 100, 128)).astype(np.float32)
+    with torch.no_grad():
+        xv_ref, _ = ref.speaker_encoder(torch.from_numpy(mel), True)
+    xv = speaker_encoder.x_vector(params, jnp.asarray(mel))
+    np.testing.assert_allclose(np.asarray(xv), xv_ref.numpy(), atol=5e-3, rtol=1e-3)
