@@ -61,11 +61,21 @@ def _convert_batch(
 
 
 class BatchServer:
-    """Data-parallel conversion server over a device mesh."""
+    """Data-parallel conversion server over a device mesh.
 
-    def __init__(self, converter, n_model: int = 1):
+    Multi-host: pass the global mesh (after jax.distributed.initialize) —
+    every host must hold the same full input batch (deterministic stream
+    split or host broadcast); shards are uploaded host-locally and the
+    output is allgathered back to every host (SURVEY §7 step 8 / BASELINE
+    config 5, replacing the reference's single-GPU-only serving)."""
+
+    def __init__(self, converter, n_model: int = 1, mesh=None):
         self.cv = converter
-        self.mesh = meshlib.make_mesh(n_model=n_model)
+        self.mesh = mesh if mesh is not None else meshlib.make_mesh(n_model=n_model)
+        self._multihost = any(
+            d.process_index != jax.process_index()
+            for d in self.mesh.devices.flat
+        )
         specs = jax.tree.map(lambda _: meshlib.P(), converter.arvc_params)
         specs["model"] = meshlib.dual_ar_param_specs(converter.arvc_params["model"])
         self.params = (
@@ -88,12 +98,15 @@ class BatchServer:
     ) -> np.ndarray:
         B = src_wavs.shape[0]
         n_data = self.mesh.shape["data"]
+        # keep inputs HOST-LOCAL (numpy) until the sharded device_put: a
+        # premature jnp.asarray commits them to one local device, which
+        # cannot be resharded onto a mesh spanning other processes
         tree = {
-            "src": jnp.asarray(src_wavs),
-            "rt": jnp.asarray(ref_tokens),
-            "rc": jnp.asarray(ref_codes),
-            "st": jnp.asarray(style),
-            "tb": jnp.asarray(timbre),
+            "src": np.asarray(src_wavs),
+            "rt": np.asarray(ref_tokens),
+            "rc": np.asarray(ref_codes),
+            "st": np.asarray(style),
+            "tb": np.asarray(timbre),
         }
         if B % n_data == 0:
             batch = meshlib.shard_batch(tree, self.mesh)
@@ -104,4 +117,8 @@ class BatchServer:
                 self.params, self.cv.cfg, batch["src"], batch["rt"], batch["rc"],
                 batch["st"], batch["tb"], sampling, delay, key,
             )
+        if not wav.is_fully_addressable:  # gather remote shards to every host
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(wav, tiled=True))
         return np.asarray(wav)

@@ -1,20 +1,36 @@
-"""Worker for the true multi-process jax.distributed test.
+"""Worker for the true multi-process jax.distributed tests.
 
 Run as: python tests/mp_worker.py <port> <process_id> <num_processes>
-Each process owns 2 virtual CPU devices; together they form one global mesh
-(data x model) spanning "hosts", exercising initialize_multihost,
+            [mode=train|serve] [out_npy]
+
+train: each process owns 2 virtual CPU devices; together they form one
+global mesh (data x model), exercising initialize_multihost,
 global_batch_from_local (the split_dataset_by_node device-side counterpart)
 and a cross-host sharded train step with gloo collectives — the multi-host
 path SURVEY.md §2.4/§4 calls for, testable without TPU pods.
-"""
+
+serve: the same global mesh runs a sharded BatchServer conversion
+(tokenize -> generate -> vocode, dp x tp) — SURVEY §7 step 8's 2-host
+serving scale-out.  The mesh is ALWAYS 4 devices (data 2 x model 2) split
+across however many processes, so a 1-process run computes the same program
+as a 2-process run; pid 0 dumps the allgathered output wav to <out_npy> for
+cross-run equality checks, and every pid logs an audio-seconds/s throughput
+proxy."""
 
 import os
 import sys
+import time
 
 port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+mode = sys.argv[4] if len(sys.argv) > 4 else "train"
+out_npy = sys.argv[5] if len(sys.argv) > 5 else None
+
+N_DEV_TOTAL = 4 if mode == "serve" else 2 * nproc
+ndev_local = N_DEV_TOTAL // nproc
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev_local}"
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tinymodels
 
 import jax
 
@@ -30,7 +46,7 @@ from streamvoiceanon_tpu.parallel import mesh as meshlib
 from streamvoiceanon_tpu.train import step as trainstep
 
 
-def main():
+def main_train():
     meshlib.initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
     assert len(jax.devices()) == 2 * nproc
     n_model = 2
@@ -85,5 +101,54 @@ def main():
     print(f"OK {pid}", flush=True)
 
 
+def main_serve():
+    import tinymodels
+
+    from streamvoiceanon_tpu.config import SamplingConfig
+    from streamvoiceanon_tpu.parallel.serving import BatchServer
+
+    meshlib.initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+    assert len(jax.devices()) == N_DEV_TOTAL
+    m = meshlib.make_mesh(n_data=2, n_model=2)
+
+    cv = tinymodels.tiny_converter()  # same seed on every host
+    SPF = 2048
+    B, Ls, Tr = 4, 6, 4
+    # the full GLOBAL batch is deterministic, so every host can build it and
+    # upload only its addressable shards (stream-split counterpart)
+    rng = np.random.default_rng(42)
+    src = (rng.standard_normal((B, Ls * SPF)) * 0.1).astype(np.float32)
+    ref = (rng.standard_normal(Tr * SPF) * 0.1).astype(np.float32)
+    style = rng.standard_normal((B, 192)).astype(np.float32)
+    timbre = rng.standard_normal((B, 32, 128)).astype(np.float32)
+    ref_tokens = np.asarray(cv.content_tokens(jnp.asarray(ref)[None]))
+    ref_codes = np.asarray(cv.audio_codes(jnp.asarray(ref)[None]))
+    ref_tokens = np.repeat(ref_tokens, B, axis=0)
+    ref_codes = np.repeat(ref_codes, B, axis=0)
+
+    server = BatchServer(cv, mesh=m)
+    kw = dict(sampling=SamplingConfig(greedy=True), delay=2,
+              key=jax.random.PRNGKey(7))
+    wav = server.convert(src, ref_tokens, ref_codes, style, timbre, **kw)
+    assert wav.shape[0] == B, wav.shape
+
+    # throughput proxy: audio-seconds/s per process over 3 timed calls
+    t0 = time.perf_counter()
+    n_timed = 3
+    for _ in range(n_timed):
+        wav = server.convert(src, ref_tokens, ref_codes, style, timbre, **kw)
+    dt = (time.perf_counter() - t0) / n_timed
+    audio_s = B * wav.shape[-1] / 44100.0
+    print(f"THROUGHPUT {pid} {audio_s/dt:.3f} audio_s/s "
+          f"({nproc} proc x {ndev_local} dev)", flush=True)
+
+    if pid == 0 and out_npy:
+        np.save(out_npy, wav)
+    print(f"OK {pid}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if mode == "serve":
+        main_serve()
+    else:
+        main_train()
