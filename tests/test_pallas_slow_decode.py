@@ -191,3 +191,51 @@ def test_flat_layout_batched_fallback(rng):
 
     np.testing.assert_array_equal(res["ref"][0], res["flat"][0])
     np.testing.assert_array_equal(res["ref"][1], res["flat"][1])
+
+
+def test_snapshot_restore_migrates_cache_layout(rng):
+    """bench.py's exact fast-start path: a session prepped (and snapshotted)
+    under the plain XLA layout is restored into a converter with
+    use_pallas_slow_decode on — restore must migrate the LM cache to flat
+    rows and the continued stream must match the never-snapshotted one."""
+    import pickle
+    from dataclasses import replace as drep
+
+    from streamvoiceanon_tpu.config import SamplingConfig
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+    from streamvoiceanon_tpu.utils.tiny import tiny_converter
+
+    def make_sess(cv, src, n):
+        rng2 = np.random.default_rng(7)
+        spf = cv.cfg.samples_per_frame
+        ref = jnp.asarray(rng2.standard_normal((1, 8 * spf)) * 0.1, jnp.float32)
+        sess = StreamSession(
+            cv, cv.cfg.stream, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(greedy=True),
+            style=jnp.asarray(rng2.standard_normal((1, cv.cfg.arvc.style_dim)), jnp.float32),
+            timbre=jnp.asarray(rng2.standard_normal((1, 32, cv.cfg.arvc.context_dim)), jnp.float32),
+            ref_tokens=cv.content_tokens(ref), ref_codes=cv.audio_codes(ref))
+        outs = [sess.process_chunk(src[i * spf:(i + 1) * spf]) for i in range(n)]
+        return sess, outs
+
+    cv = tiny_converter(seed=0)
+    cfg_p = drep(cv.cfg, arvc=drep(cv.cfg.arvc, decoder=drep(
+        cv.cfg.arvc.decoder, use_pallas_slow_decode=True)))
+    cv_p = VoiceConverter(cfg=cfg_p, tokenizer_params=cv.tokenizer_params,
+                          vocoder_params=cv.vocoder_params, arvc_params=cv.arvc_params)
+    spf = cv.cfg.samples_per_frame
+    src = (np.random.default_rng(8).standard_normal(10 * spf) * 0.1).astype(np.float32)
+
+    _, ref_outs = make_sess(cv, src, 10)
+
+    sess, outs = make_sess(cv, src, 6)
+    blob = pickle.dumps(sess.snapshot())  # process boundary
+    sess2 = StreamSession.restore(cv_p, pickle.loads(blob), jax.devices("cpu")[0])
+    assert sess2.fstate.lm.decode.k_cache.ndim == 4  # flat (L, B, S, H*D)
+    for i in range(6, 10):
+        outs.append(sess2.process_chunk(src[i * spf:(i + 1) * spf]))
+
+    ref_cat = np.concatenate([np.asarray(o).ravel() for o in ref_outs])
+    got_cat = np.concatenate([np.asarray(o).ravel() for o in outs])
+    np.testing.assert_allclose(got_cat, ref_cat, atol=1e-5, rtol=1e-5)
