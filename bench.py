@@ -40,9 +40,16 @@ import time
 
 import jax
 
-# reuse the persistent compilation cache regardless of launcher env
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+def _enable_compile_cache():
+    """Reuse the persistent compilation cache regardless of launcher env.
+    Called from __main__ (both parent and prep child), NOT at import: a test
+    process importing bench must not leak the cache config — jaxlib's CPU
+    thunk-executor aborts deserializing cached multi-device CPU programs
+    (observed SIGABRT in xla::cpu::ThunkExecutor under the 8-device dryrun)."""
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 import jax.numpy as jnp
 import numpy as np
@@ -247,6 +254,7 @@ def prep_child_main(out_path):
     # jax_platforms via jax.config, which beats JAX_PLATFORMS; re-pin to cpu
     # before the first backend touch
     jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
     snap, n_warm = cpu_prep_snapshot()
     with open(out_path, "wb") as f:
         pickle.dump({"snapshot": snap, "n_warm": n_warm}, f,
@@ -709,6 +717,7 @@ if __name__ == "__main__":
             traceback.print_exc(file=sys.stderr)
             os._exit(1)
     _arm_signals()
+    _enable_compile_cache()
     try:
         main()
     except Exception as e:  # noqa: BLE001
