@@ -252,9 +252,12 @@ def prep_child_main(out_path):
     """Entry for `bench.py --prep-child OUT`: CPU-only prep process."""
     # the env var alone is NOT enough — the sandbox sitecustomize pins
     # jax_platforms via jax.config, which beats JAX_PLATFORMS; re-pin to cpu
-    # before the first backend touch
+    # before the first backend touch.  NO persistent compile cache here:
+    # local CPU compiles are cheap (~30 s total), and the shared cache dir
+    # can serve CPU executables AOT-compiled on a different machine type
+    # (cpu_aot_loader "machine features don't match ... SIGILL" — observed
+    # crashing the 8-device dryrun program).
     jax.config.update("jax_platforms", "cpu")
-    _enable_compile_cache()
     snap, n_warm = cpu_prep_snapshot()
     with open(out_path, "wb") as f:
         pickle.dump({"snapshot": snap, "n_warm": n_warm}, f,

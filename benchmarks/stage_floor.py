@@ -14,8 +14,6 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +123,14 @@ def main():
         for i in range(cfg.stream.delay + 3):
             sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
     print("CPU prep done", file=sys.stderr)
+
+    # persistent compile cache for the TPU phase ONLY: enabling it over
+    # the CPU prep would read/write CPU executables into the shared dir,
+    # which can be AOT artifacts from a different machine type
+    # (cpu_aot_loader machine-feature mismatch -> SIGILL/abort)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
     cv = VoiceConverter(
         cfg=cfg,
