@@ -208,7 +208,11 @@ def _fast_decode_kernel(
 
         best = jnp.max(race)
         code = jnp.min(jnp.where(race == best, col, vp)).astype(jnp.int32)
-        codes_ref[0, s] = code
+        # (1, 1)-shaped store: Mosaic cannot lower rank-0 stores to VMEM
+        # ("Cannot store scalars to VMEM", seen on the real chip)
+        codes_ref[0:1, s : s + 1] = jnp.min(
+            jnp.where(race == best, col, vp), axis=1, keepdims=True
+        ).astype(jnp.int32)
 
         onehot = (col == code).astype(wd)  # (1, Vp)
         x = _dot(onehot, emb_ref[...])  # (1, dim)

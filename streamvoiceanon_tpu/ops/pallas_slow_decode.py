@@ -222,8 +222,10 @@ def _slow_step_kernel(
         else:
             race = logits / max(temperature, 1e-5) + gum_ref[...]
         best = jnp.max(race)
-        tok_ref[0, 0] = jnp.min(
-            jnp.where(race == best, col, V)
+        # keepdims: Mosaic cannot lower rank-0 stores to VMEM ("Cannot store
+        # scalars to VMEM", seen on the real chip) — store a (1, 1) block
+        tok_ref[...] = jnp.min(
+            jnp.where(race == best, col, V), axis=1, keepdims=True
         ).astype(jnp.int32)
 
 
