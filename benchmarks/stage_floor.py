@@ -202,9 +202,18 @@ def main():
     from streamvoiceanon_tpu.ops import quantizers as Q
 
     def scan_enc_front(tok_p, mel_st, bb_st, down_st, xs):
+        from streamvoiceanon_tpu.ops import pallas_convnext_enc as pce
+        packed = isinstance(bb_st, pce.PackedEncState)
+        if packed:
+            pw = tok_p.get("enc_packed") or pce.packed_weights(
+                tok_p, cfg.tokenizer)
+
         def body(carry, chunk):
             m, b, d = carry
             m, mel = ts.mel_stream(m, chunk, cfg.tokenizer.mel, sess._mel_consts)
+            if packed:  # fused kernel: backbone + downsamples in one call
+                b, z = pce.encoder_front_step(pw, b, mel, cfg.tokenizer)
+                return (m, b, d), jnp.sum(z)
             b, feat = ts.convnext_encoder_apply_stream(
                 tok_p["backbone"], cfg.tokenizer.backbone, b, mel)
             z = feat

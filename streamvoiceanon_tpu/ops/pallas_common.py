@@ -43,3 +43,21 @@ def rms(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
     return y.astype(x.dtype) * w
+
+
+def splice_rows(buf: jax.Array, updates) -> jax.Array:
+    """Rebuild `buf` (R, C) with `updates` = [(static_row_offset, rows)]
+    spliced in at their offsets.
+
+    Static-shape slice+concatenate form of dynamic_update_slice, which
+    Mosaic cannot lower inside a TPU kernel ("Unimplemented primitive …
+    dynamic_update_slice"); all offsets must be Python ints."""
+    pieces, cur = [], 0
+    for off, rows in sorted(updates, key=lambda u: u[0]):
+        if off > cur:
+            pieces.append(buf[cur:off])
+        pieces.append(rows.astype(buf.dtype))
+        cur = off + rows.shape[0]
+    if cur < buf.shape[0]:
+        pieces.append(buf[cur:])
+    return jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]

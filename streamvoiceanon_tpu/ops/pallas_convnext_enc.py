@@ -47,6 +47,7 @@ from streamvoiceanon_tpu.ops.pallas_common import (  # shared kernel helpers
     dotf as _dotf,
     pltpu,
     rms as _rms,
+    splice_rows as _splice_rows,
 )
 
 from streamvoiceanon_tpu.config import TokenizerConfig
@@ -60,9 +61,24 @@ def _ln(x: jax.Array, w: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Arra
     return y.astype(x.dtype) * w + b
 
 
+def _erf_poly(x: jax.Array) -> jax.Array:
+    """f32 erf for Mosaic (lax.erf has no Pallas TPU lowering rule).
+
+    Abramowitz & Stegun 7.1.26 rational approximation, max abs error
+    1.5e-7 — at f32 rounding granularity, so GELU parity vs the XLA
+    exact-erf path holds to ~1e-6 (test_pallas_convnext_enc tolerances).
+    """
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _gelu_exact(x: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
-    return (xf * 0.5 * (1.0 + jax.lax.erf(xf / np.sqrt(2.0)))).astype(x.dtype)
+    return (xf * 0.5 * (1.0 + _erf_poly(xf / np.sqrt(2.0)))).astype(x.dtype)
 
 
 class PackedEncState(NamedTuple):
@@ -278,8 +294,15 @@ def _make_kernel(cfg: TokenizerConfig, T0: int):
         full = jnp.concatenate([stem_tail[: k - 1], x], axis=0)
         stem_out[...] = jnp.concatenate(
             [full[T: T + k - 1], stem_tail[k - 1:]], axis=0)
-        xcat = jnp.concatenate([full[j: j + T] for j in range(k)], axis=1)
-        x = (_dotf(xcat, stem_w[...]) + stem_b[...]).astype(x.dtype)
+        # per-tap matmuls against row-slices of the (k*C_in, C_out) packed
+        # weight — the single-matmul im2col form concatenates shifted slices
+        # along lanes, which Mosaic cannot relayout ("result/input offset
+        # mismatch on non-concat dimension" on the real chip)
+        cin = x.shape[1]
+        acc = _dotf(full[0:T], stem_w[0:cin])
+        for j in range(1, k):
+            acc = acc + _dotf(full[j: j + T], stem_w[j * cin: (j + 1) * cin])
+        x = (acc + stem_b[...]).astype(x.dtype)
         x = _ln(x, stem_lnw[...], stem_lnb[...])
 
         # ---- stages ----------------------------------------------------------
@@ -293,14 +316,12 @@ def _make_kernel(cfg: TokenizerConfig, T0: int):
             for bi in range(d):
                 x, trows = block(x, T, sr, bi, sr["tail"], 0)
                 new_tails.append((bi * 8, trows))
-            buf = sr["tail"][...]
-            for off, trows in new_tails:
-                buf = jax.lax.dynamic_update_slice(buf, trows, (off, 0))
-            stage_outs[i][...] = buf
+            # static-offset row splice (Mosaic has no dynamic_update_slice
+            # lowering; all offsets are Python ints here)
+            stage_outs[i][...] = _splice_rows(sr["tail"][...], new_tails)
         x = _ln(x, fin_lnw[...], fin_lnb[...])
 
         # ---- downsample conv (stride f == kernel f) + block ------------------
-        dbuf = dtail_ref[...]
         new_dtails = []
         for i, f in enumerate(factors):
             dr = down_refs[i]
@@ -321,9 +342,7 @@ def _make_kernel(cfg: TokenizerConfig, T0: int):
             T = Tn
             x, trows = block(x, T, dr, 0, dtail_ref, i * 8)
             new_dtails.append((i * 8, trows))
-        for off, trows in new_dtails:
-            dbuf = jax.lax.dynamic_update_slice(dbuf, trows, (off, 0))
-        down_out[...] = dbuf
+        down_out[...] = _splice_rows(dtail_ref[...], new_dtails)
 
         z_ref[...] = x
 

@@ -207,12 +207,11 @@ def _fast_decode_kernel(
             race = logits / max(temperature, 1e-5) + gum_ref[0, s, :][None, :]
 
         best = jnp.max(race)
+        # codes_ref lives in SMEM: Mosaic requires SCALAR stores there
+        # ("Can only store scalars to SMEM") — the keepdims block-store form
+        # is only needed for VMEM outputs (see pallas_slow_decode epilogue).
         code = jnp.min(jnp.where(race == best, col, vp)).astype(jnp.int32)
-        # (1, 1)-shaped store: Mosaic cannot lower rank-0 stores to VMEM
-        # ("Cannot store scalars to VMEM", seen on the real chip)
-        codes_ref[0:1, s : s + 1] = jnp.min(
-            jnp.where(race == best, col, vp), axis=1, keepdims=True
-        ).astype(jnp.int32)
+        codes_ref[0, s] = code
 
         onehot = (col == code).astype(wd)  # (1, Vp)
         x = _dot(onehot, emb_ref[...])  # (1, dim)

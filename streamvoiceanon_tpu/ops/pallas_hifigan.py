@@ -48,6 +48,7 @@ from streamvoiceanon_tpu.ops.pallas_common import (  # shared kernel helpers
     dotf as _dotf,
     pltpu,
     rms as _rms,
+    splice_rows as _splice_rows,
 )
 
 from streamvoiceanon_tpu.config import HiFiGANConfig
@@ -257,11 +258,17 @@ def _make_kernel(cfg: HiFiGANConfig, T0: int):
         post_out = next(it)
 
         def conv(full, T, k, d, w_rows, b_row):
-            # full: ((k-1)*d + T, C); one matmul against tap-major (k*C, C).
+            # full: ((k-1)*d + T, C); k per-tap matmuls against row-slices of
+            # the tap-major (k*C, Cout) weight.  The single-matmul im2col form
+            # lane-concatenates shifted slices, which Mosaic cannot relayout
+            # ("result/input offset mismatch on non-concat dimension").
             # f32 accumulate + f32 bias add, round once — ops/conv.conv1d
-            xcat = jnp.concatenate(
-                [full[j * d: j * d + T] for j in range(k)], axis=1)
-            y = _dotf(xcat, w_rows) + b_row.astype(jnp.float32)
+            C = full.shape[1]
+            y = _dotf(full[0:T], w_rows[0:C])
+            for j in range(1, k):
+                y = y + _dotf(full[j * d: j * d + T],
+                              w_rows[j * C: (j + 1) * C])
+            y = y + b_row.astype(jnp.float32)
             return y.astype(full.dtype)
 
         # ---- conv_pre -----------------------------------------------------
@@ -283,9 +290,22 @@ def _make_kernel(cfg: HiFiGANConfig, T0: int):
             up_out[...] = jnp.concatenate(
                 [full[T: T + 1], up_tail[1:]], axis=0)
             y = _dotf(full[:T], wa[...]) + _dotf(full[1: T + 1], wb[...])
-            T = T * s
-            # bias after the phase reshape, f32 like ops/conv.conv_transpose1d
-            x = (y.reshape(T, co) + ub[...].astype(jnp.float32)).astype(x.dtype)
+            # de-interleave the s phases packed in y's lanes: out[t*s + p] =
+            # y[t, p*co:(p+1)*co].  Mosaic cannot shape-cast (T, s*co) ->
+            # (T*s, co) ("infer-vector-layout: unsupported shape cast"), so
+            # scatter rows with iota-generated one-hot matmuls instead — the
+            # same trick as the encoder kernel's strided downsample, run in
+            # reverse.  Masks are built in-registers; nothing extra in VMEM.
+            Ts = T * s
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (Ts, T), 0)
+            csel = jax.lax.broadcasted_iota(jnp.int32, (Ts, T), 1) * s
+            acc = _dotf((rsel == csel).astype(jnp.float32), y[:, :co])
+            for p in range(1, s):
+                sel = (rsel == csel + p).astype(jnp.float32)
+                acc = acc + _dotf(sel, y[:, p * co: (p + 1) * co])
+            T = Ts
+            # f32 bias add, round once — ops/conv.conv_transpose1d
+            x = (acc + ub[...].astype(jnp.float32)).astype(x.dtype)
 
             si = 0
             woff = 0
@@ -312,11 +332,10 @@ def _make_kernel(cfg: HiFiGANConfig, T0: int):
             for brn in branches[1:]:
                 acc = acc + brn.astype(jnp.float32)
             x = (acc / float(len(branches))).astype(x.dtype)
-            # write the packed new tail buffer
-            buf = res_tail[...]
-            for off, rows, t in new_res:
-                buf = jax.lax.dynamic_update_slice(buf, t, (off, 0))
-            res_out[...] = buf
+            # write the packed new tail buffer (static-offset splice; Mosaic
+            # has no dynamic_update_slice lowering)
+            res_out[...] = _splice_rows(
+                res_tail[...], [(off, t) for off, rows, t in new_res])
 
         # ---- conv_post + tanh ----------------------------------------------
         x = _silu(x)
