@@ -79,13 +79,15 @@ def _fast_decode_kernel(
     outnorm_ref,  # (1, dim)
     wout_ref,  # (dim, Vp)
     emb_ref,  # (Vp, dim)
-    cbemb_ref,  # (nq, Vp, dim) — next-frame codebook-embedding table
+    cbemb_ref,  # (nq, vocab, mdim) — next-frame table, HBM-resident (ANY)
     cos_ref,  # (nq, dim) f32 — per-position cos, pair-expanded + head-tiled
     sin_ref,  # (nq, dim) f32
     codes_ref,  # out: (1, nq) int32
-    aemb_ref,  # out: (1, dim) — sum of the sampled codes' embeddings
+    aemb_ref,  # out: (1, mdim) — sum of the sampled codes' embeddings
     kc_ref,  # scratch: (L, nq, dim)
     vc_ref,  # scratch: (L, nq, dim)
+    cbrow_ref,  # scratch: (8, mdim) — DMA landing block for cbemb gathers
+    csem_ref,  # scratch: DMA semaphore
     *,
     n_layer: int,
     nq: int,
@@ -217,8 +219,21 @@ def _fast_decode_kernel(
         x = _dot(onehot, emb_ref[...])  # (1, dim)
 
         # next-frame audio embedding: sum of per-codebook rows
-        # (models/dual_ar.embed_codes, reference dual_ar_stream.py:245-255)
-        contrib = _dot(onehot, cbemb_ref[s])  # (1, dim)
+        # (models/dual_ar.embed_codes, reference dual_ar_stream.py:245-255).
+        # The table stays in HBM and only the aligned 8-row block holding the
+        # sampled code is DMA'd in (~12 KB; HBM sublane slices must be 8-row
+        # tile-aligned), instead of holding a VMEM-padded (nq, Vp, mdim)
+        # copy: that 16 MB operand was double-buffered per scan iteration by
+        # XLA and blew the 16 MB scoped-vmem stack inside serving loops, and
+        # the one-hot gather matmul it fed read the whole 16 MB each frame.
+        code8 = (code // 8) * 8
+        copy = pltpu.make_async_copy(
+            cbemb_ref.at[s, pl.ds(code8, 8), :], cbrow_ref, csem_ref)
+        copy.start()
+        copy.wait()
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+               == code - code8).astype(wd)
+        contrib = _dot(sel, cbrow_ref[...])  # (1, mdim), weight dtype
         aemb = contrib if s == 0 else aemb + contrib
 
     aemb_ref[...] = aemb
@@ -290,9 +305,12 @@ def fast_decode(
     wout = jnp.pad(fast_output, ((0, 0), (0, vp - vocab)))
     emb = jnp.pad(fast_embeddings, ((0, vp - vocab), (0, 0)))
     mdim = codebook_embeddings.shape[-1]
+    # HBM-resident, rows padded only to the 8-row DMA tile (sampled codes are
+    # always < vocab, so pad rows are never selected)
+    v8 = _round_up(vocab, 8)
     cbemb = jnp.pad(
         codebook_embeddings.reshape(nq, vocab, mdim),
-        ((0, 0), (0, vp - vocab), (0, 0)),
+        ((0, 0), (0, v8 - vocab), (0, 0)),
     ).astype(wd)
     cos_np, sin_np = _expand_cos_sin(nq, head_dim, n_head, rope_base)
     cos = jnp.asarray(cos_np)
@@ -323,7 +341,8 @@ def fast_decode(
         spec((1, dim), lambda b: (0, 0)),
         spec((dim, vp), lambda b: (0, 0)),
         spec((vp, dim), lambda b: (0, 0)),
-        spec((nq, vp, mdim), lambda b: (0, 0, 0)),
+        # whole-array HBM ref: the kernel DMAs the selected rows itself
+        pl.BlockSpec(memory_space=pl.ANY),
         spec((nq, dim), lambda b: (0, 0)),
         spec((nq, dim), lambda b: (0, 0)),
     ]
@@ -341,6 +360,8 @@ def fast_decode(
     scratch = [
         pltpu.VMEM((L, nq, dim), wd) if pltpu is not None else None,
         pltpu.VMEM((L, nq, dim), wd) if pltpu is not None else None,
+        pltpu.VMEM((8, mdim), wd) if pltpu is not None else None,
+        pltpu.SemaphoreType.DMA if pltpu is not None else None,
     ]
     if pltpu is None:  # pragma: no cover — interpret-only environments
         raise RuntimeError("pallas tpu module unavailable")
