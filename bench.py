@@ -333,6 +333,7 @@ def main():
         StreamSession, _decode_vocode_inc, _encode_inc,
     )
     from streamvoiceanon_tpu.utils import randparams as rp
+    from streamvoiceanon_tpu.utils.jitopts import scoped_vmem_jit
 
     global _best
     cfg = PipelineConfig()
@@ -582,7 +583,7 @@ def main():
                 (fs2, _), wavs = jax.lax.scan(body, (fstate, key), chunks)
                 return fs2, wavs
 
-            group_jit = jax.jit(scan_group)
+            group_jit = scoped_vmem_jit(scan_group)
             groups_dev = [
                 jax.device_put(jnp.asarray(
                     rng.standard_normal((G, 1, spf)) * 0.1, jnp.float32),
@@ -645,7 +646,7 @@ def main():
                 (_, _), wavs = jax.lax.scan(body, (fstate, key), chunks)
                 return wavs
 
-            scan_jit = jax.jit(scan_chunks)
+            scan_jit = scoped_vmem_jit(scan_chunks)
             chunks_dev = jax.device_put(
                 jnp.asarray(rng.standard_normal((K, 1, spf)) * 0.1,
                             jnp.float32), tpu_dev)

@@ -189,11 +189,13 @@ def main():
 
     # each job returns ONE scalar: a single ~25 ms relay fetch per dispatch,
     # so the measured time is device time, not fetch count
+    from streamvoiceanon_tpu.utils.jitopts import scoped_vmem_jit
+
     def scalarize(fn, reduce):
         def run(*a):
             out = fn(*a)
             return reduce(out)
-        return jax.jit(run)
+        return scoped_vmem_jit(run)
 
     # encode sub-stages: front = mel + ConvNeXt backbone + downsample convs;
     # wt = windowed-transformer ring step + LFQ.  Splits the encode stage so

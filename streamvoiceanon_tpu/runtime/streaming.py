@@ -32,6 +32,7 @@ import numpy as np
 
 from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig, StreamConfig
 from streamvoiceanon_tpu.models import arvc, dual_ar, tokenizer, tokenizer_stream, vocoder
+from streamvoiceanon_tpu.utils.jitopts import scoped_vmem_jit
 
 
 # ---------------------------------------------------------------------------
@@ -65,7 +66,7 @@ def _vocode_window(params, cfg: PipelineConfig, code_window):
     return vocoder.decode(params, cfg.vocoder, code_window)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+@scoped_vmem_jit(static_argnums=(1, 5, 6))
 def _decode_frames(params, cfg: PipelineConfig, state, tokens_k, key,
                    sampling: SamplingConfig, k: int):
     """k sequential decode_one steps (process_one_chunk :534-537)."""
@@ -109,7 +110,7 @@ def _encode_inc(tok_params, cfg: PipelineConfig, tok_state, tok_ring, wav_chunk,
     return tstate, ring, toks
 
 
-@functools.partial(jax.jit, static_argnums=(2, 7))
+@scoped_vmem_jit(static_argnums=(2, 7))
 def _decode_vocode_inc(arvc_params, voc_params, cfg: PipelineConfig, lm_state,
                        code_ring, voc_state, toks, sampling: SamplingConfig, key):
     """Merged LM decode + incremental vocode (one fewer program per chunk —
