@@ -48,6 +48,12 @@ def main():
                          " comma list sweeps the LM stage per factor")
     ap.add_argument("--stages", default="",
                     help="comma list of stages to run (default: all)")
+    ap.add_argument("--compare", default="",
+                    help="comma list of kernel-flag variants (each a "
+                         "'+'-joined subset of fast,slow,wt,voc,enc, or "
+                         "'xla' for none) to ALSO measure in this process: "
+                         "same session, same chip — paired numbers free of "
+                         "the ~0.2 ms cross-session relay drift")
     args = ap.parse_args()
     unrolls = [int(u) for u in str(args.unroll).split(",")]
 
@@ -85,6 +91,26 @@ def main():
                 out.vocoder, head=replace(
                     out.vocoder.head, use_pallas_stream=True)))
         if args.pallas_enc:
+            out = replace(out, tokenizer=replace(
+                out.tokenizer, use_pallas_encoder=True))
+        return out
+
+    def flags_cfg(names):
+        """PipelineConfig with exactly the kernel flags in `names` set."""
+        base = PipelineConfig()
+        out = replace(base, arvc=replace(base.arvc, decoder=replace(
+            base.arvc.decoder,
+            use_pallas_fast_decode="fast" in names,
+            use_pallas_slow_decode="slow" in names)))
+        if "wt" in names:
+            out = replace(out, tokenizer=replace(
+                out.tokenizer, transformer=replace(
+                    out.tokenizer.transformer, use_pallas_stream=True)))
+        if "voc" in names:
+            out = replace(out, vocoder=replace(
+                out.vocoder, head=replace(
+                    out.vocoder.head, use_pallas_stream=True)))
+        if "enc" in names:
             out = replace(out, tokenizer=replace(
                 out.tokenizer, use_pallas_encoder=True))
         return out
@@ -413,6 +439,88 @@ def main():
                 print(f"  {name:11s} measured {ms:6.3f} ms vs bw-floor "
                       f"{floor:6.3f} ms -> {ms/max(floor,1e-9):5.2f}x floor, "
                       f"{100.0*floor/max(ms,1e-9):5.1f}% of peak BW")
+
+    # ---- paired kernel-flag variants (same process, same session) ----------
+    # cross-session relay drift is ~0.2 ms/chunk — same order as the DSP
+    # kernels' individual effects — so adjudication numbers must be paired.
+    for tag in filter(None, args.compare.split(",")):
+        names = set() if tag == "xla" else set(tag.split("+"))
+        cfg_v = flags_cfg(names)
+        cv_v = VoiceConverter(
+            cfg=cfg_v, tokenizer_params=cv.tokenizer_params,
+            vocoder_params=cv.vocoder_params, arvc_params=cv.arvc_params)
+        sess_v = sess.transfer(cv_v, tpu)
+        jax.block_until_ready(sess_v.fstate)
+        fsv = sess_v.fstate
+
+        def sc_enc(tok_p, tstate, ring, xs, cfg_b=cfg_v, mc=sess_v._mel_consts):
+            def body(carry, chunk):
+                ts, rg = carry
+                ts, rg, t = _encode_inc(tok_p, cfg_b, ts, rg, chunk, mc)
+                return (ts, rg), t
+            return jax.lax.scan(body, (tstate, ring), xs)
+
+        def sc_lm(arvc_p, lm, key, xs, cfg_b=cfg_v, smp=sess_v.sampling):
+            def body(carry, tok):
+                st, kk = carry
+                kk, sub = jax.random.split(kk)
+                st, c = arvc.decode_one(arvc_p, cfg_b.arvc, st, tok, sub, smp)
+                return (st, kk), c
+            return jax.lax.scan(body, (lm, key), xs)
+
+        def sc_voc(voc_p, vstate, xs, cfg_b=cfg_v):
+            def body(carry, c):
+                return vocoder.decode_stream(voc_p, cfg_b.vocoder, carry, c)
+            return jax.lax.scan(body, vstate, xs)
+
+        def sc_full(ps, fstate, key, xs, cfg_b=cfg_v, sess_b=None):
+            tok_p, arvc_p, voc_p = ps
+            mc, smp = sess_v._mel_consts, sess_v.sampling
+            def body(carry, chunk):
+                f, kk = carry
+                ts, rg, t = _encode_inc(tok_p, cfg_b, f.tok, f.tok_ring,
+                                        chunk, mc)
+                kk, sub = jax.random.split(kk)
+                lm, cr, vs, wav = _decode_vocode_inc(
+                    arvc_p, voc_p, cfg_b, f.lm, f.code_ring, f.voc, t,
+                    smp, sub)
+                f = f._replace(tok=ts, tok_ring=rg, lm=lm, code_ring=cr,
+                               voc=vs)
+                return (f, kk), wav
+            return jax.lax.scan(body, (fstate, key), xs)
+
+        vjobs = {
+            "encode": (scalarize(sc_enc,
+                                 lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                       (cv_v.tokenizer_params, fsv.tok, fsv.tok_ring, chunks)),
+            "lm_decode": (scalarize(sc_lm,
+                                    lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                          (cv_v.arvc_params, fsv.lm, jax.random.PRNGKey(5),
+                           toks)),
+            "vocoder": (scalarize(sc_voc,
+                                  lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                        (cv_v.vocoder_params, fsv.voc, codes)),
+            "full_chunk": (scalarize(sc_full,
+                                     lambda o: jnp.sum(o[1]).astype(jnp.float32)),
+                           ((cv_v.tokenizer_params, cv_v.arvc_params,
+                             cv_v.vocoder_params), fsv,
+                            jax.random.PRNGKey(6), chunks)),
+        }
+        if args.stages:
+            keep = set(args.stages.split(","))
+            vjobs = {k: v for k, v in vjobs.items() if k in keep}
+        for name, (fn, a) in vjobs.items():
+            t0 = time.time()
+            np.asarray(fn(*a))
+            compile_s = time.time() - t0
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                np.asarray(fn(*a))
+                best = min(best, (time.perf_counter() - t0) / K)
+            label = f"{name}[{tag}]"
+            print(f"{label:22s} {best*1e3:6.3f} ms/chunk  "
+                  f"RTF {best/FRAME_SECONDS:5.3f}  (compile+1st {compile_s:.1f}s)")
 
 
 if __name__ == "__main__":

@@ -443,13 +443,27 @@ def replace(cfg, **kwargs):
 
 
 def tpu_optimized(cfg: PipelineConfig) -> PipelineConfig:
-    """Program-selection flags measured fastest on real TPU hardware
-    (BENCH.md): the VMEM-resident Pallas fast-codebook decoder plus the
-    grid-pipelined Pallas slow-step kernel (LM decode stage 2.18 -> 0.94
-    ms/frame combined).  use_pallas_decode stays off — the XLA
-    decode-attention path measured faster at this geometry.  The slow kernel
-    changes the LM KV-cache layout to flat rows; StreamSession.transfer
-    migrates state between layouts, so converters/sessions built either way
+    """Program-selection flags measured fastest on real TPU v5e hardware.
+
+    Round-3 paired on-chip adjudication (benchmarks/results/
+    r3_floor_paired.log — every variant measured in ONE process so the
+    ~0.2 ms cross-session relay drift cancels; full_chunk ms, null 0.225):
+
+      fast+slow           2.025      (XLA-only baseline: 2.968, r3_floor_xla)
+      fast+slow+wt        1.784      wt ring kernel      -0.24 -> ON
+      fast+slow+voc       1.893      HiFiGAN head kernel -0.13 -> ON
+      fast+slow+enc       2.046      ConvNeXt front end  +0.02 -> OFF
+      all five            1.750
+
+    Enabled: the VMEM-resident fast-codebook decoder + grid-pipelined
+    slow-step kernel (LM stage 2.14 -> 0.98 ms/frame), the circular
+    absolute-RoPE WT ring kernel, and the fused HiFiGAN-head kernel.
+    use_pallas_encoder stays off (the fused ConvNeXt front end measured
+    slightly slower than XLA's fusion of the same ops) and use_pallas_decode
+    stays off (round 2: XLA decode attention faster at this geometry); both
+    remain available behind their flags.  The slow/wt kernels change state
+    layouts (flat KV rows / flat ring); StreamSession.transfer migrates
+    live state between layouts, so converters/sessions built either way
     interoperate."""
     return replace(
         cfg,
@@ -459,4 +473,6 @@ def tpu_optimized(cfg: PipelineConfig) -> PipelineConfig:
             use_pallas_slow_decode=True)),
         tokenizer=replace(cfg.tokenizer, transformer=replace(
             cfg.tokenizer.transformer, use_pallas_stream=True)),
+        vocoder=replace(cfg.vocoder, head=replace(
+            cfg.vocoder.head, use_pallas_stream=True)),
     )

@@ -50,4 +50,8 @@ def scoped_vmem_jit(fun=None, *, static_argnums=()):
     def call(*args):
         return (tuned if _on_accelerator(args) else plain)(*args)
 
+    # AOT surface (bench.py pre-compiles the serving programs): dispatch
+    # .lower() by the same platform rule as the call itself
+    call.lower = lambda *args, **kw: (
+        tuned if _on_accelerator(args) else plain).lower(*args, **kw)
     return call
