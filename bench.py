@@ -564,8 +564,6 @@ def main():
     scan_results = {}
     if budget_left() > 240:
         try:
-            G = 16
-
             def scan_group(tok_p, arvc_p, voc_p, fstate, chunks, key):
                 def body(carry, chunk):
                     fs, kk = carry
@@ -584,38 +582,46 @@ def main():
                 return fs2, wavs
 
             group_jit = scoped_vmem_jit(scan_group)
-            groups_dev = [
-                jax.device_put(jnp.asarray(
-                    rng.standard_normal((G, 1, spf)) * 0.1, jnp.float32),
-                    tpu_dev)
-                for _ in range(4)
-            ]
             pp = (cv_tpu.tokenizer_params, cv_tpu.arvc_params,
                   cv_tpu.vocoder_params)
-            t0 = time.time()
-            fs_c, wavs = group_jit(*pp, sess.fstate, groups_dev[0],
-                                   jax.random.PRNGKey(11))
-            np.asarray(wavs)
-            log(f"scan-group x{G}: compile+first run {time.time()-t0:.1f}s")
-            best_p = float("inf")
-            for _pass in range(2):
-                if budget_left() < 60:
+            # G sweep: each step amortizes the fixed ~23-26 ms per-group
+            # dispatch+fetch over more chunks (period -> the device floor as
+            # G grows) at the cost of G x 46.44 ms of group latency — the
+            # JSON reports both, update_best keeps the latency-fit M-mode as
+            # the separate realtime_* headline.
+            for G in (16, 64):
+                if budget_left() < 180:
                     break
-                fs_c = sess.fstate
-                t0 = time.perf_counter()
-                for g, chunks_g in enumerate(groups_dev):
-                    fs_c, wavs = group_jit(
-                        *pp, fs_c, chunks_g, jax.random.fold_in(
-                            jax.random.PRNGKey(11), g))
-                    np.asarray(wavs)  # deliver the group
-                wall = time.perf_counter() - t0
-                best_p = min(best_p, wall / (len(groups_dev) * G))
-            group_lat = best_p * G + (G - 1) * FRAME_SECONDS
-            scan_results[G] = (best_p, group_lat)
-            update_best(results, scan_results)
-            log(f"scan group G={G}: period={best_p*1e3:.2f}ms "
-                f"RTF={best_p/FRAME_SECONDS:.3f} group latency="
-                f"{group_lat*1e3:.0f}ms")
+                groups_dev = [
+                    jax.device_put(jnp.asarray(
+                        rng.standard_normal((G, 1, spf)) * 0.1, jnp.float32),
+                        tpu_dev)
+                    for _ in range(4)
+                ]
+                t0 = time.time()
+                fs_c, wavs = group_jit(*pp, sess.fstate, groups_dev[0],
+                                       jax.random.PRNGKey(11))
+                np.asarray(wavs)
+                log(f"scan-group x{G}: compile+first run {time.time()-t0:.1f}s")
+                best_p = float("inf")
+                for _pass in range(2):
+                    if budget_left() < 60:
+                        break
+                    fs_c = sess.fstate
+                    t0 = time.perf_counter()
+                    for g, chunks_g in enumerate(groups_dev):
+                        fs_c, wavs = group_jit(
+                            *pp, fs_c, chunks_g, jax.random.fold_in(
+                                jax.random.PRNGKey(11), g))
+                        np.asarray(wavs)  # deliver the group
+                    wall = time.perf_counter() - t0
+                    best_p = min(best_p, wall / (len(groups_dev) * G))
+                group_lat = best_p * G + (G - 1) * FRAME_SECONDS
+                scan_results[G] = (best_p, group_lat)
+                update_best(results, scan_results)
+                log(f"scan group G={G}: period={best_p*1e3:.2f}ms "
+                    f"RTF={best_p/FRAME_SECONDS:.3f} group latency="
+                    f"{group_lat*1e3:.0f}ms")
         except Exception as e:  # noqa: BLE001
             log(f"scan-group phase failed ({type(e).__name__}: {e}) — "
                 f"keeping M-mode result")
