@@ -401,6 +401,12 @@ class StreamConfig:
     decode_chunk_frames: int = 1
     delay: int = 2
     alpha: float = 1.0  # speaker-embedding noise-mixing coefficient
+    # incremental-mode refill strategy: stash the post-prompt LM state once
+    # and run a small fixed-shape history prefill (buffer_frames pairs) at
+    # each refill boundary instead of re-running the full padded-prompt
+    # prefill on the hot path (arvc.prefill_history; exact-equal by
+    # construction — tests/test_streaming_integration.py)
+    fast_refill: bool = True
 
 
 @dataclass(frozen=True)

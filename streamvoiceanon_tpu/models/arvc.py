@@ -226,6 +226,50 @@ def prefill_src_condition4delay(
     return ARVCState(d, new_audio_emb, state.ref_tail_emb)
 
 
+def prefill_history(
+    params: Dict,
+    cfg: ARVCConfig,
+    state: ARVCState,
+    recent_tokens: jax.Array,  # (B, b) content tokens ending at the boundary
+    recent_codes: jax.Array,  # (B, nq, b) decoded codes ending at the boundary
+    delay: int,
+) -> ARVCState:
+    """Incremental form of the periodic prompt refill: append b recent
+    (content, audio) frame pairs to a PROMPT-PREFILLED state.
+
+    prefill_prompt(ref ++ recent) == prefill_history(prefill_prompt(ref),
+    recent): the ref-prefix KV rows are position-identical in both, so the
+    runtime can stash the post-prompt state once and refill with this small
+    fixed-shape program instead of re-running the full padded-prompt prefill
+    on the hot path (reference semantics: infer_arvc.py:547-564, where the
+    refill prompt is always [ref codes | last buffer_frames codes]).
+    Exactness is asserted by tests/test_streaming_integration.py."""
+    dcfg = cfg.decoder
+    B, b = recent_tokens.shape
+    assert b >= delay, "buffer_frames must be >= delay"
+    cond = embed_content(params, recent_tokens)  # (B, b, D)
+    emb = dual_ar.embed_codes(params["model"], dcfg, recent_codes)  # (B, b, D)
+    if delay > 0:
+        # continuation pairs (c_t, a_{t-d}) for t in [Tp, Tp+b): the first
+        # d audio slots are the stashed ref tail, the rest recent codes
+        audio = jnp.concatenate([state.ref_tail_emb, emb[:, : b - delay]], axis=1)
+        seq = _interleave(cond, audio)  # (B, 2b, D)
+        new_tail = emb[:, b - delay :]
+        audio_cache = jnp.zeros_like(emb[:, :1])
+    else:
+        # delay=0 prompts end on a cond slot with the last audio slot cached
+        # (prefill_prompt drops it); the continuation re-inserts it first:
+        # [a_{Tp-1}, c_Tp, a_Tp, ..., c_{Tp+b-1}] — audio-first interleave
+        audio = jnp.concatenate([state.audio_emb, emb[:, : b - 1]], axis=1)
+        seq = _interleave(audio, cond)  # (B, 2b, D)
+        new_tail = emb[:, :0]
+        audio_cache = emb[:, -1:]
+    d, _ = dual_ar.prefill(
+        params["model"], dcfg, state.decode, seq, jnp.int32(seq.shape[1])
+    )
+    return ARVCState(d, audio_cache, new_tail)
+
+
 def decode_one(
     params: Dict,
     cfg: ARVCConfig,

@@ -34,6 +34,9 @@ class RealtimeEngine:
         self._thread: Optional[threading.Thread] = None
         self.chunks_processed = 0
         self.last_latency_ms = 0.0
+        # per-chunk (t_read, t_delivered) perf_counter pairs, appended by the
+        # fetcher thread — benchmark instrumentation (bench.py pipelined mode)
+        self.latency_log: list = []
 
     # ---- audio-thread side -------------------------------------------------
 
@@ -69,7 +72,9 @@ class RealtimeEngine:
                     return
                 t0, wav = item
                 self.out_ring.write(np.asarray(wav))
-                self.last_latency_ms = (time.perf_counter() - t0) * 1e3
+                t1 = time.perf_counter()
+                self.last_latency_ms = (t1 - t0) * 1e3
+                self.latency_log.append((t0, t1))
                 self.chunks_processed += 1
 
         ft = threading.Thread(target=fetcher, daemon=True)

@@ -56,6 +56,17 @@ def _prefill_delay(arvc_params, cfg: PipelineConfig, lm_state, src_tokens, delay
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _prefill_history(arvc_params, cfg: PipelineConfig, base_state,
+                     recent_tokens, recent_codes, delay: int):
+    """Fast refill: append buffer_frames recent pairs to the stashed
+    post-prompt state (arvc.prefill_history) — a small fixed-shape program
+    instead of the full padded-prompt prefill on the hot path."""
+    return arvc.prefill_history(
+        arvc_params, cfg.arvc, base_state, recent_tokens, recent_codes, delay
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _encode_window(params, cfg: PipelineConfig, wav_window):
     return tokenizer.encode(params, cfg.tokenizer, wav_window)
@@ -191,6 +202,11 @@ class StreamSession:
             style, timbre, self.delay, state_dtype,
         )
         self._lm_pos_host = int(lm_state.decode.pos)
+        # stash the post-prompt state for the fast (incremental) refill: the
+        # ref prefix of every refill prompt is constant, so refills only need
+        # to append the recent history to this state (arvc.prefill_history)
+        self._base_lm = lm_state if (incremental and self.scfg.fast_refill) else None
+        self._base_pos_host = self._lm_pos_host
 
         # ---- stream caches
         k = self.scfg.decode_chunk_frames
@@ -266,6 +282,8 @@ class StreamSession:
         dcfg = converter.cfg.arvc.decoder
         relayout = lambda st: st._replace(
             decode=dual_ar.convert_cache_layout(st.decode, dcfg))
+        if self._base_lm is not None:
+            new._base_lm = relayout(jax.tree.map(put, self._base_lm))
         if self.incremental:
             new._mel_consts = put(self._mel_consts)
             new.fstate = jax.tree.map(put, self.fstate)
@@ -312,6 +330,7 @@ class StreamSession:
                 frames_decoded=self.frames_decoded,
                 delay_prefilled=self.delay_prefilled,
                 _lm_pos_host=self._lm_pos_host, Tp=self.Tp,
+                _base_pos_host=self._base_pos_host,
             ),
             "arrays": dict(
                 key=np.asarray(self.key),
@@ -321,6 +340,7 @@ class StreamSession:
                 timbre=None if self.timbre is None else np.asarray(self.timbre),
                 fstate=tonp(self.fstate),
                 _mel_consts=tonp(self._mel_consts),
+                _base_lm=None if self._base_lm is None else tonp(self._base_lm),
             ),
         }
 
@@ -420,19 +440,30 @@ class StreamSession:
 
     def _refill_incremental(self):
         b = self.scfg.buffer_frames
-        lm = _prefill_prompt(
-            self.cv.arvc_params, self.cfg,
-            jnp.concatenate([self.ref_tokens, self._recent_tokens(b)], axis=-1),
-            jnp.concatenate([self.ref_codes, self._recent_codes(b)], axis=-1),
-            self.style, self.timbre, self.delay, self.state_dtype,
-        )
+        if self._base_lm is not None:
+            # fast path: one small fixed-shape dispatch (2b [+2d-1] rows)
+            # against the stashed post-prompt state — no full-prompt prefill,
+            # no device sync; the position trajectory stays deterministic
+            lm = _prefill_history(
+                self.cv.arvc_params, self.cfg, self._base_lm,
+                self._recent_tokens(b), self._recent_codes(b), self.delay,
+            )
+            self._lm_pos_host = self._base_pos_host + 2 * b
+        else:
+            lm = _prefill_prompt(
+                self.cv.arvc_params, self.cfg,
+                jnp.concatenate([self.ref_tokens, self._recent_tokens(b)], axis=-1),
+                jnp.concatenate([self.ref_codes, self._recent_codes(b)], axis=-1),
+                self.style, self.timbre, self.delay, self.state_dtype,
+            )
+            self._lm_pos_host = self._base_pos_host + 2 * b
         if self.delay > 0:
             lm = _prefill_delay(
                 self.cv.arvc_params, self.cfg, lm,
                 self.fstate.tok_ring[:, -self.delay :], self.delay,
             )
+            self._lm_pos_host += 2 * self.delay - 1
         self.fstate = self.fstate._replace(lm=lm)
-        self._lm_pos_host = int(lm.decode.pos)
 
     def _recent_tokens(self, b):
         if self.delay > 0:

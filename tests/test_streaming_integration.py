@@ -263,3 +263,93 @@ def test_snapshot_restore_continues_identically(cv, rng):
         np.concatenate(outs_a), np.concatenate(outs_b), atol=0)
     assert b.tokens_seen == a.tokens_seen
     assert b._lm_pos_host == a._lm_pos_host
+
+
+def test_prefill_history_matches_monolithic(cv, rng):
+    """arvc.prefill_history(prefill_prompt(ref), recent) must equal
+    prefill_prompt(ref ++ recent) — the correctness contract of the fast
+    refill path (StreamConfig.fast_refill)."""
+    acfg = cv.cfg.arvc
+    nq = acfg.decoder.num_codebooks
+    Tp, b = 6, 4
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+    ref_tok = jnp.asarray(rng.integers(0, 100, (1, Tp)).astype(np.int32))
+    ref_codes = jnp.asarray(rng.integers(0, 40, (1, nq, Tp)).astype(np.int32))
+    rec_tok = jnp.asarray(rng.integers(0, 100, (1, b)).astype(np.int32))
+    rec_codes = jnp.asarray(rng.integers(0, 40, (1, nq, b)).astype(np.int32))
+
+    for delay in (0, 2):
+        mono = arvc.prefill_prompt(
+            cv.arvc_params, acfg,
+            jnp.concatenate([ref_tok, rec_tok], axis=-1),
+            jnp.concatenate([ref_codes, rec_codes], axis=-1),
+            style, timbre, delay, jnp.float32,
+        )
+        base = arvc.prefill_prompt(
+            cv.arvc_params, acfg, ref_tok, ref_codes, style, timbre,
+            delay, jnp.float32,
+        )
+        fast = arvc.prefill_history(
+            cv.arvc_params, acfg, base, rec_tok, rec_codes, delay
+        )
+        assert int(fast.decode.pos) == int(mono.decode.pos), delay
+        np.testing.assert_allclose(
+            np.asarray(fast.decode.k_cache), np.asarray(mono.decode.k_cache),
+            atol=1e-5, err_msg=f"delay={delay}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.decode.v_cache), np.asarray(mono.decode.v_cache),
+            atol=1e-5, err_msg=f"delay={delay}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.audio_emb), np.asarray(mono.audio_emb), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.ref_tail_emb), np.asarray(mono.ref_tail_emb),
+            atol=1e-5,
+        )
+
+
+@pytest.mark.parametrize("delay", [0, 2])
+def test_fast_refill_stream_matches_monolithic(cv, rng, delay):
+    """A stream crossing refill boundaries must produce the same audio and
+    codes whether refill re-runs the full prompt prefill (fast_refill=False,
+    the reference-shaped path) or appends history to the stashed post-prompt
+    state (fast_refill=True, the hot-path-cheap default)."""
+    Ls, Tr = 24, 4
+    ref_wav = _rand_wav(rng, Tr)
+    src_wav = _rand_wav(rng, Ls)
+    ref_tokens = cv.content_tokens(jnp.asarray(ref_wav)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref_wav)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+
+    outs = {}
+    rings = {}
+    n_refills = {}
+    for fast in (False, True):
+        # spk prefix (33) + 2*Tp puts the prompt at pos ~41; max_seq_frames
+        # must clear both that and the post-refill position (base + 2b [+2d-1])
+        scfg = StreamConfig(
+            max_prompt_frames=8, max_seq_frames=28, buffer_frames=3,
+            decode_chunk_frames=1, delay=delay, fast_refill=fast,
+        )
+        sess = StreamSession(
+            cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+            style=style, timbre=timbre, ref_tokens=ref_tokens,
+            ref_codes=ref_codes, incremental=True,
+        )
+        refills = 0
+        chunks = []
+        for i in range(Ls):
+            pos_before = sess._lm_pos_host
+            chunks.append(sess.process_chunk(src_wav[i * SPF : (i + 1) * SPF]))
+            if sess._lm_pos_host < pos_before:
+                refills += 1
+        outs[fast] = np.concatenate(chunks)
+        rings[fast] = np.asarray(sess.fstate.code_ring)
+        n_refills[fast] = refills
+    assert n_refills[True] == n_refills[False] and n_refills[True] >= 2
+    np.testing.assert_array_equal(rings[True], rings[False])
+    np.testing.assert_allclose(outs[True], outs[False], atol=1e-5)
