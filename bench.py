@@ -271,16 +271,31 @@ def prep_child_main(out_path):
 # ---------------------------------------------------------------------------
 
 
-def update_best(results, scan_results=None):
+_extras = {}  # named sections (device_floor, roofline, refill, pipelined)
+
+
+def add_section(name, payload):
+    """Attach a named result section; survives later update_best calls."""
+    global _best
+    with _best_lock:
+        _extras[name] = payload
+        if _best is not None:
+            _best[name] = payload
+
+
+def update_best(results, scan_results=None, pipelined=None):
     """results: {M: (period_s, p50_latency_s)} per-chunk-dispatch fetch
     groups; scan_results: {G: (period_s, group_latency_s)} scan-dispatch
-    groups (one program dispatch + one fetch per G chunks).
+    groups (one program dispatch + one fetch per G chunks); pipelined:
+    {"period_s", "p50_latency_s"} from the RealtimeEngine run.
 
-    Two first-class numbers (VERDICT r2 weak #5 / next #8):
-    * headline `value` — lowest sustained period across all modes;
-    * `realtime_*` — lowest period among modes whose delivery latency fits
-      the 46.44 ms frame budget (the live-viable operating point,
-      real-time-gui.py:219-229's constraint)."""
+    Headline semantics (VERDICT r3 next #7 — no ambiguity between
+    group-throughput and live latency):
+    * `value` / `realtime_*` — the REALTIME-VIABLE operating point: lowest
+      sustained period among modes whose per-chunk delivery latency fits
+      the 46.44 ms frame budget (real-time-gui.py:219-229's constraint).
+    * `throughput_*` — lowest sustained period across ALL modes regardless
+      of delivery latency (batch/relay-amortized streaming)."""
     global _best
     cands = []  # (period_s, latency_s, mode description)
     for m, (period, lat) in results.items():
@@ -290,32 +305,47 @@ def update_best(results, scan_results=None):
     for g, (period, lat) in (scan_results or {}).items():
         cands.append((period, lat,
                       f"scan-dispatch group G={g} (one dispatch+fetch per {g} chunks)"))
+    if pipelined:
+        cands.append((pipelined["period_s"], pipelined["p50_latency_s"],
+                      "pipelined RealtimeEngine (dispatch + fetch threads)"))
     if not cands:
         return
-    period, lat, desc = min(cands, key=lambda c: c[0])
-    rtf = period / FRAME_SECONDS
-    m1 = results.get(1)
-    m1_txt = (f"; M=1: RTF {m1[0]/FRAME_SECONDS:.2f} at {m1[1]*1e3:.0f}ms"
-              if m1 else "")
+    t_period, t_lat, t_desc = min(cands, key=lambda c: c[0])
+    t_rtf = t_period / FRAME_SECONDS
     entry = {
         "metric": "streaming_rtf_chunk1",
-        "value": round(rtf, 4),
-        "unit": (f"sustained chunk period / 46.44ms frame ({desc}, delivery "
-                 f"latency {lat*1e3:.0f}ms{m1_txt})"),
-        "vs_baseline": round(1.0 / rtf, 2) if rtf > 0 else None,
+        "throughput_rtf": round(t_rtf, 4),
+        "throughput_mode": t_desc,
+        "throughput_latency_ms": round(t_lat * 1e3, 1),
     }
     rt = [c for c in cands if c[1] <= FRAME_SECONDS]
     if rt:
         p_rt, l_rt, d_rt = min(rt, key=lambda c: c[0])
-        entry["realtime_rtf"] = round(p_rt / FRAME_SECONDS, 4)
+        rt_rtf = p_rt / FRAME_SECONDS
+        entry["realtime_rtf"] = round(rt_rtf, 4)
         entry["realtime_latency_ms"] = round(l_rt * 1e3, 1)
         entry["realtime_mode"] = d_rt
+        entry["value"] = round(rt_rtf, 4)
+        entry["unit"] = (
+            f"realtime-viable sustained RTF: chunk period / 46.44ms frame, "
+            f"delivery latency {l_rt*1e3:.0f}ms <= frame budget ({d_rt}); "
+            f"best throughput RTF {t_rtf:.3f} ({t_desc})")
+        entry["vs_baseline"] = round(1.0 / rt_rtf, 2) if rt_rtf > 0 else None
     else:
         entry["realtime_rtf"] = None
-        entry["realtime_mode"] = "none: no mode delivered within the 46.44ms frame budget"
+        entry["realtime_mode"] = ("none: no mode delivered within the "
+                                  "46.44ms frame budget")
+        entry["value"] = round(t_rtf, 4)
+        entry["unit"] = (
+            f"sustained chunk period / 46.44ms frame ({t_desc}, delivery "
+            f"latency {t_lat*1e3:.0f}ms — NOT latency-fit; no realtime mode)")
+        entry["vs_baseline"] = round(1.0 / t_rtf, 2) if t_rtf > 0 else None
+    m1 = results.get(1)
+    if m1:
+        entry["unit"] += (f"; M=1: RTF {m1[0]/FRAME_SECONDS:.2f} "
+                          f"at {m1[1]*1e3:.0f}ms")
     with _best_lock:
-        if _best is not None and "device_floor" in _best:
-            entry["device_floor"] = _best["device_floor"]
+        entry.update(_extras)
         _best = entry
 
 
@@ -509,6 +539,20 @@ def main():
             src_wav[(n_warm + i) * spf:(n_warm + i + 1) * spf]))
     log(f"TPU warm-up chunks: {time.time()-t0:.1f}s")
 
+    # warm the REFILL programs (fast history prefill + delay prefill) by
+    # running one throwaway refill and restoring the state: measurements may
+    # now legitimately cross refill boundaries (phase 5c measures them)
+    t0 = time.time()
+    try:
+        saved = (sess.fstate, sess._lm_pos_host)
+        sess._refill_incremental()
+        jax.block_until_ready(sess.fstate.lm)
+        sess.fstate, sess._lm_pos_host = saved
+        log(f"refill program warm: {time.time()-t0:.1f}s")
+    except Exception as e:  # noqa: BLE001
+        log(f"refill warm failed ({type(e).__name__}: {e}) — "
+            f"refill-crossing phases may pay a compile")
+
     # ---- phase 5: measurements, cheapest-first, deadline-guarded -----------
     # The axon relay executes chained programs lazily and charges ~20-25 ms
     # per host fetch (size-independent), ~1-3 ms per drained program.  M>1
@@ -536,16 +580,14 @@ def main():
         wall = time.perf_counter() - t_start
         return wall / n_bench, float(np.median(lats))
 
-    # keep total decoded frames below the prompt-refill threshold so the
-    # giant prefill program never compiles on the TPU (max_seq_frames=768)
+    # refill boundaries are fair game now: the fast refill (stashed-prompt +
+    # history prefill, streaming.py) is pre-compiled above, so a crossing
+    # costs one extra small dispatch instead of a giant prefill compile
     results = {}
-    plan = [(1, 32), (8, 96), (16, 96), (32, 96), (4, 64), (1, 32), (8, 96), (16, 96)]
+    plan = [(1, 32), (8, 96), (16, 96), (4, 64), (1, 32), (8, 96)]
     for M, n in plan:
         if budget_left() < 45:
             log(f"deadline near ({budget_left():.0f}s left) — stopping refinement")
-            break
-        if chunk_count + n > 620:
-            log("chunk budget reached (refill threshold) — stopping")
             break
         period, lat = run_mode(M, n)
         if M not in results or period < results[M][0]:
@@ -554,7 +596,130 @@ def main():
         log(f"fetch group M={M}: period={period*1e3:.2f}ms "
             f"RTF={period/FRAME_SECONDS:.3f} p50 delivery latency={lat*1e3:.1f}ms")
 
-    # ---- phase 5b: scan-dispatch streaming groups ---------------------------
+    # ---- phase 5b: pipelined RealtimeEngine (the live headline) -------------
+    # Dispatch thread + fetcher thread over SPSC rings (runtime/realtime.py):
+    # per-chunk host fetches overlap the next dispatches, so the sustained
+    # period is dispatch-bound while every chunk is still delivered
+    # individually (true live operation, robust to relay fetch cost — unlike
+    # the grouped M modes whose latency grows with M).
+    pipelined = None
+    if budget_left() > 180:
+        from streamvoiceanon_tpu.runtime.realtime import RealtimeEngine
+
+        eng = RealtimeEngine(sess, ring_seconds=8.0)
+        eng.start()
+        try:
+            def feed(i):
+                eng.push_input(src_wav[(i % 60) * spf : (i % 60 + 1) * spf])
+
+            # flat-out: push everything, wait for drain -> sustained period
+            N_FLAT = 128
+            base = eng.chunks_processed
+            t0 = time.perf_counter()
+            for i in range(N_FLAT):
+                feed(i)
+            deadline = t0 + min(60.0, max(10.0, budget_left() - 120))
+            while (eng.chunks_processed - base < N_FLAT
+                   and time.perf_counter() < deadline):
+                time.sleep(0.005)
+            done = eng.chunks_processed - base
+            flat_period = (time.perf_counter() - t0) / max(done, 1)
+            log(f"pipelined flat-out: {done}/{N_FLAT} chunks, "
+                f"period={flat_period*1e3:.2f}ms "
+                f"RTF={flat_period/FRAME_SECONDS:.3f}")
+
+            # paced at the frame rate: per-chunk delivery latency + xruns
+            # (delivery after push + 2 frame periods would underrun a
+            # 1-frame-jitter-buffered player)
+            eng.latency_log.clear()
+            N_PACED = 96
+            push_times = []
+            next_t = time.perf_counter()
+            for i in range(N_PACED):
+                now = time.perf_counter()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                push_times.append(time.perf_counter())
+                feed(i)
+                next_t += FRAME_SECONDS
+            deadline = time.perf_counter() + 10.0
+            while (len(eng.latency_log) < N_PACED
+                   and time.perf_counter() < deadline):
+                time.sleep(0.005)
+            lats = [t1 - push_times[i]
+                    for i, (_, t1) in enumerate(eng.latency_log)]
+            if done >= N_FLAT // 2 and len(lats) >= N_PACED // 2:
+                p50 = float(np.percentile(lats, 50))
+                p99 = float(np.percentile(lats, 99))
+                xruns = int(sum(l > 2 * FRAME_SECONDS for l in lats))
+                xruns += N_PACED - len(lats)
+                pipelined = {"period_s": flat_period, "p50_latency_s": p50}
+                add_section("pipelined", {
+                    "period_ms": round(flat_period * 1e3, 3),
+                    "rtf": round(flat_period / FRAME_SECONDS, 4),
+                    "paced_p50_latency_ms": round(p50 * 1e3, 1),
+                    "paced_p99_latency_ms": round(p99 * 1e3, 1),
+                    "paced_xruns": xruns,
+                    "paced_chunks": N_PACED,
+                    "mode": ("dispatch + fetch threads over SPSC rings "
+                             "(runtime/realtime.py), fed at the 46.44ms "
+                             "frame rate"),
+                })
+                update_best(results, None, pipelined)
+                log(f"pipelined paced: p50={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms "
+                    f"xruns={xruns}/{N_PACED}")
+            else:
+                log(f"pipelined run incomplete (flat {done}/{N_FLAT}, "
+                    f"paced {len(lats)}/{N_PACED}) — discarding")
+        except Exception as e:  # noqa: BLE001
+            log(f"pipelined phase failed ({type(e).__name__}: {e})")
+        finally:
+            eng.stop()
+
+    # ---- phase 5c: refill-inclusive per-chunk percentiles --------------------
+    # Shrink max_seq_frames so the measured window crosses several refill
+    # boundaries (the refill cadence is deterministic; at the default 768 a
+    # real unbounded stream refills every ~35.7 s — VERDICT r3 weak #1) and
+    # report p50/p99/max chunk period INCLUDING the refill chunks.
+    if budget_left() > 120:
+        try:
+            saved_scfg = sess.scfg
+            sess.scfg = _rep(sess.scfg, max_seq_frames=128)
+            N_REF = 96
+            periods, refill_idx = [], []
+            for i in range(N_REF):
+                pos_before = sess._lm_pos_host
+                t0 = time.perf_counter()
+                np.asarray(sess.process_chunk_async(
+                    src_wav[(i % 60) * spf : (i % 60 + 1) * spf]))
+                periods.append(time.perf_counter() - t0)
+                if sess._lm_pos_host < pos_before:
+                    refill_idx.append(i)
+            sess.scfg = saved_scfg
+            pr = np.asarray(periods)
+            ref_p = pr[refill_idx] if refill_idx else np.asarray([])
+            add_section("refill", {
+                "n_chunks": N_REF,
+                "n_refills": len(refill_idx),
+                "p50_ms": round(float(np.percentile(pr, 50)) * 1e3, 2),
+                "p99_ms": round(float(np.percentile(pr, 99)) * 1e3, 2),
+                "max_ms": round(float(pr.max()) * 1e3, 2),
+                "refill_chunk_mean_ms": (
+                    round(float(ref_p.mean()) * 1e3, 2) if len(ref_p) else None),
+                "refill_chunk_max_ms": (
+                    round(float(ref_p.max()) * 1e3, 2) if len(ref_p) else None),
+                "mode": ("per-chunk sync fetch, max_seq_frames=128 so the "
+                         "window crosses refill boundaries; fast refill "
+                         "(stashed-prompt history prefill) pre-compiled"),
+            })
+            log(f"refill-inclusive: {len(refill_idx)} refills in {N_REF} "
+                f"chunks, p50={np.percentile(pr,50)*1e3:.1f}ms "
+                f"p99={np.percentile(pr,99)*1e3:.1f}ms "
+                f"max={pr.max()*1e3:.1f}ms")
+        except Exception as e:  # noqa: BLE001
+            log(f"refill phase failed ({type(e).__name__}: {e})")
+
+    # ---- phase 5d: scan-dispatch streaming groups ---------------------------
     # One lax.scan program dispatch + one fetch per G chunks: the stream is
     # processed in G-chunk groups with the session state carried across
     # groups (genuine continuous streaming at G x 46.44 ms group latency).
@@ -618,7 +783,7 @@ def main():
                     best_p = min(best_p, wall / (len(groups_dev) * G))
                 group_lat = best_p * G + (G - 1) * FRAME_SECONDS
                 scan_results[G] = (best_p, group_lat)
-                update_best(results, scan_results)
+                update_best(results, scan_results, pipelined)
                 log(f"scan group G={G}: period={best_p*1e3:.2f}ms "
                     f"RTF={best_p/FRAME_SECONDS:.3f} group latency="
                     f"{group_lat*1e3:.0f}ms")
@@ -689,17 +854,17 @@ def main():
                 )
             except Exception as e:  # noqa: BLE001
                 log(f"roofline model failed ({type(e).__name__}: {e})")
+            add_section("device_floor", {
+                "ms_per_chunk": round(floor * 1e3, 3),
+                "rtf": round(floor / FRAME_SECONDS, 4),
+                "pure_compute_ms": round(compute * 1e3, 3),
+                "method": (f"lax.scan x{K}, one dispatch+fetch; null-"
+                           f"program dispatch+fetch subtracted"),
+            })
+            if roofline is not None:
+                add_section("roofline", roofline)
             with _best_lock:
                 if _best is not None:
-                    _best["device_floor"] = {
-                        "ms_per_chunk": round(floor * 1e3, 3),
-                        "rtf": round(floor / FRAME_SECONDS, 4),
-                        "pure_compute_ms": round(compute * 1e3, 3),
-                        "method": (f"lax.scan x{K}, one dispatch+fetch; null-"
-                                   f"program dispatch+fetch subtracted"),
-                    }
-                    if roofline is not None:
-                        _best["roofline"] = roofline
                     _best["unit"] += (
                         f"; device floor {floor*1e3:.2f} ms/chunk = RTF "
                         f"{floor/FRAME_SECONDS:.3f} ({compute*1e3:.2f} ms pure "

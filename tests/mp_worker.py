@@ -25,7 +25,7 @@ port, pid, nproc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 mode = sys.argv[4] if len(sys.argv) > 4 else "train"
 out_npy = sys.argv[5] if len(sys.argv) > 5 else None
 
-N_DEV_TOTAL = 4 if mode == "serve" else 2 * nproc
+N_DEV_TOTAL = 4 if mode in ("serve", "stream") else 2 * nproc
 ndev_local = N_DEV_TOTAL // nproc
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev_local}"
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -147,8 +147,100 @@ def main_serve():
     print(f"OK {pid}", flush=True)
 
 
+def main_stream():
+    """Cross-host STREAMING serving (SURVEY §7 step 8: per-stream state
+    residency + chunk routing): S live StreamSessions are partitioned by a
+    deterministic owner() route over the jax.distributed processes; each
+    session's state lives on a device of the owning process and its chunks
+    are only ever processed there.  Outputs are written per stream so the
+    test can assert 2-process == 1-process, and a global-mesh psum verifies
+    the cross-host collectives stay live alongside the host-local streams."""
+    import tinymodels
+
+    from streamvoiceanon_tpu.config import SamplingConfig, StreamConfig
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+    meshlib.initialize_multihost(f"127.0.0.1:{port}", nproc, pid)
+    assert len(jax.devices()) == N_DEV_TOTAL
+
+    S, Ls, Tr = 4, 8, 4
+    SPF = 2048
+
+    def owner(sid: int) -> int:
+        """Chunk router: which process holds stream sid's session state."""
+        return sid * nproc // S
+
+    cv = tinymodels.tiny_converter()  # same seed on every host
+    scfg = StreamConfig(max_prompt_frames=8, max_seq_frames=10_000,
+                        buffer_frames=4, decode_chunk_frames=1, delay=2)
+
+    def stream_inputs(sid):
+        rng = np.random.default_rng(1000 + sid)
+        ref = (rng.standard_normal(Tr * SPF) * 0.1).astype(np.float32)
+        src = (rng.standard_normal(Ls * SPF) * 0.1).astype(np.float32)
+        style = rng.standard_normal((1, 192)).astype(np.float32)
+        timbre = rng.standard_normal((1, 32, 128)).astype(np.float32)
+        return ref, src, style, timbre
+
+    mine = [sid for sid in range(S) if owner(sid) == pid]
+    local_devs = jax.local_devices()
+    sessions, srcs = {}, {}
+    for i, sid in enumerate(mine):
+        dev = local_devs[i % len(local_devs)]
+        ref, src, style, timbre = stream_inputs(sid)
+        with jax.default_device(dev):
+            sessions[sid] = StreamSession(
+                cv, scfg, key=jax.random.PRNGKey(sid),
+                sampling=SamplingConfig(greedy=True),
+                style=jnp.asarray(style), timbre=jnp.asarray(timbre),
+                ref_tokens=cv.content_tokens(jnp.asarray(ref)[None]),
+                ref_codes=cv.audio_codes(jnp.asarray(ref)[None]),
+            )
+        srcs[sid] = src
+
+    # route chunks: time-major loop, each chunk delivered to the owner only
+    outs = {sid: [] for sid in mine}
+    t0 = time.perf_counter()
+    for t in range(Ls):
+        for sid in mine:
+            outs[sid].append(
+                sessions[sid].process_chunk(srcs[sid][t * SPF : (t + 1) * SPF])
+            )
+    dt = time.perf_counter() - t0
+    audio_s = len(mine) * Ls * SPF / 44100.0
+    print(f"THROUGHPUT {pid} {audio_s/dt:.3f} audio_s/s "
+          f"({len(mine)} streams on {nproc} proc x {ndev_local} dev)",
+          flush=True)
+
+    for sid in mine:
+        np.save(f"{out_npy}.s{sid}.npy", np.concatenate(outs[sid]))
+
+    # cross-host collective alongside the host-local streams: psum of
+    # per-process decoded-chunk counts over a global mesh must see them all
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+
+    gm = Mesh(np.asarray(jax.devices()), ("d",))
+    counts = meshlib.global_batch_from_local(
+        {"n": np.full((ndev_local,), len(mine) * Ls / ndev_local, np.float32)},
+        Mesh(np.asarray(jax.devices()).reshape(-1, 1), ("data", "model")),
+    )["n"]
+
+    @partial(shard_map, mesh=gm, in_specs=meshlib.P("d"), out_specs=meshlib.P())
+    def total(x):
+        return jax.lax.psum(jnp.sum(x), "d")[None]
+
+    tot = float(total(counts)[0])
+    assert tot == S * Ls, (tot, S * Ls)
+    print(f"OK {pid}", flush=True)
+
+
 if __name__ == "__main__":
     if mode == "serve":
         main_serve()
+    elif mode == "stream":
+        main_stream()
     else:
         main_train()

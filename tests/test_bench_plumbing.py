@@ -35,23 +35,45 @@ def test_import_does_not_arm_alarm():
 
 
 def test_update_best_realtime_fields():
-    """Headline = lowest period across modes; realtime_* = lowest period
-    whose delivery latency fits the 46.44 ms frame budget."""
+    """`value` = the realtime-viable RTF (lowest period whose delivery
+    latency fits the 46.44 ms frame budget — VERDICT r3 next #7);
+    throughput_* carries the unconstrained best period separately."""
     bench._best = None
     results = {
         1: (0.030, 0.030),   # RTF 0.65 at 30 ms  -> realtime-viable
         8: (0.010, 0.100),   # RTF 0.22 at 100 ms -> fast but late
     }
     scan = {16: (0.006, 0.80)}  # RTF 0.13 at 800 ms group latency
+    pipe = {"period_s": 0.004, "p50_latency_s": 0.033}  # live AND fast
     bench.update_best(results, scan)
     b = bench._best
     assert b["metric"] == "streaming_rtf_chunk1"
-    assert b["value"] == round(0.006 / bench.FRAME_SECONDS, 4)
-    assert "scan-dispatch group G=16" in b["unit"]
+    # headline is the realtime-viable point (M=1 here), NOT group throughput
+    assert b["value"] == round(0.030 / bench.FRAME_SECONDS, 4)
+    assert b["throughput_rtf"] == round(0.006 / bench.FRAME_SECONDS, 4)
+    assert "scan-dispatch group G=16" in b["throughput_mode"]
     assert b["realtime_rtf"] == round(0.030 / bench.FRAME_SECONDS, 4)
     assert b["realtime_latency_ms"] == 30.0
     assert "M=1" in b["realtime_mode"]
+    # the pipelined engine is both the fastest AND latency-fit -> takes both
+    bench.update_best(results, scan, pipe)
+    b = bench._best
+    assert b["value"] == round(0.004 / bench.FRAME_SECONDS, 4)
+    assert "RealtimeEngine" in b["realtime_mode"]
+    assert b["throughput_rtf"] == round(0.004 / bench.FRAME_SECONDS, 4)
     bench._best = None
+
+
+def test_add_section_survives_update_best():
+    bench._best = None
+    bench._extras.clear()
+    bench.add_section("device_floor", {"ms_per_chunk": 1.8})
+    bench.update_best({1: (0.030, 0.030)})
+    assert bench._best["device_floor"] == {"ms_per_chunk": 1.8}
+    bench.add_section("refill", {"n_refills": 3})
+    assert bench._best["refill"] == {"n_refills": 3}
+    bench._best = None
+    bench._extras.clear()
 
 
 def test_update_best_no_realtime_mode():

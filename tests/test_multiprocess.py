@@ -108,3 +108,58 @@ def test_two_process_sharded_serving(tmp_path):
     # same mesh shape + same shardings => same SPMD program; gloo vs
     # in-process collectives may differ in reduction order only
     np.testing.assert_allclose(w2, w1, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_streaming_serving(tmp_path):
+    """Cross-process STREAMING serving with per-stream state residency
+    (VERDICT r3 next #5, SURVEY §7 step 8): 4 live StreamSessions are
+    partitioned over 2 real jax.distributed processes by a deterministic
+    chunk router; each stream's state lives only on its owning process and
+    its chunks are processed there.  Every stream's output must equal the
+    single-process run, and each process logs live audio-seconds/s."""
+    import numpy as np
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")}
+
+    def run(nproc, prefix):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(port), str(p), str(nproc),
+                 "stream", prefix],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for p in range(nproc)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+            assert p.returncode == 0, out
+        tp = [line for out in outs for line in out.splitlines()
+              if line.startswith("THROUGHPUT")]
+        assert len(tp) == nproc, outs
+        for line in tp:
+            print(line)
+        return outs
+
+    one = str(tmp_path / "stream_1proc")
+    two = str(tmp_path / "stream_2proc")
+    run(1, one)
+    run(2, two)
+    for sid in range(4):
+        w1 = np.load(f"{one}.s{sid}.npy")
+        w2 = np.load(f"{two}.s{sid}.npy")
+        assert w1.shape == w2.shape and w1.size > 0
+        # stream compute is process-local (no collectives touch it): the
+        # owning process must reproduce the single-process output exactly
+        np.testing.assert_allclose(w2, w1, atol=1e-6, err_msg=f"stream {sid}")
