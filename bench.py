@@ -110,6 +110,17 @@ def _dsp_dtype():
             else jnp.bfloat16)
 
 
+def _state_dtype():
+    """Serving state precision (LM KV cache + DSP stream tails): bf16 halves
+    the largest single per-chunk HBM term — the slow-step KV-cache read
+    (151 MB at f32, roofline `lm_slow`) — plus the WT ring.  Accuracy of the
+    full serving config is quantified by benchmarks/bf16_accuracy.py and
+    recorded in BENCH.md next to this default; override with
+    BENCH_STATE_DTYPE=float32."""
+    return (jnp.float32 if os.environ.get("BENCH_STATE_DTYPE") == "float32"
+            else jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # TPU availability probe — subprocess, so a hung tunnel can be timed out
 # ---------------------------------------------------------------------------
@@ -236,6 +247,7 @@ def cpu_prep_snapshot():
             cv_cpu, cfg.stream, key=jax.random.PRNGKey(1),
             sampling=SamplingConfig(),
             style=style, timbre=timbre, ref_tokens=ref_tokens, ref_codes=ref_codes,
+            state_dtype=_state_dtype(),
         )
         # warm through all host-side phase transitions (delay fill + delay
         # prefill + first decodes) so the TPU session starts in steady state
@@ -368,6 +380,12 @@ def main():
     global _best
     cfg = PipelineConfig()
     dsp_dtype = _dsp_dtype()
+    add_section("precision", {
+        "dsp_dtype": jnp.dtype(dsp_dtype).name,
+        "state_dtype": jnp.dtype(_state_dtype()).name,
+        "lm_dtype": "bfloat16",
+        "accuracy_evidence": "benchmarks/bf16_accuracy.py (BENCH.md)",
+    })
     spf = cfg.samples_per_frame
     rng, ref_wav, src_wav = _source_wavs(cfg)
 
@@ -539,16 +557,13 @@ def main():
             src_wav[(n_warm + i) * spf:(n_warm + i + 1) * spf]))
     log(f"TPU warm-up chunks: {time.time()-t0:.1f}s")
 
-    # warm the REFILL programs (fast history prefill + delay prefill) by
-    # running one throwaway refill and restoring the state: measurements may
+    # warm the REFILL programs (one-shot fast refill + background per-chunk
+    # history append + delay prefill) with throwaway state: measurements may
     # now legitimately cross refill boundaries (phase 5c measures them)
     t0 = time.time()
     try:
-        saved = (sess.fstate, sess._lm_pos_host)
-        sess._refill_incremental()
-        jax.block_until_ready(sess.fstate.lm)
-        sess.fstate, sess._lm_pos_host = saved
-        log(f"refill program warm: {time.time()-t0:.1f}s")
+        sess.warm_refill_programs()
+        log(f"refill programs warm: {time.time()-t0:.1f}s")
     except Exception as e:  # noqa: BLE001
         log(f"refill warm failed ({type(e).__name__}: {e}) — "
             f"refill-crossing phases may pay a compile")

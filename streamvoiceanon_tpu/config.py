@@ -407,6 +407,14 @@ class StreamConfig:
     # prefill on the hot path (arvc.prefill_history; exact-equal by
     # construction — tests/test_streaming_integration.py)
     fast_refill: bool = True
+    # spread the refill over the window BEFORE the boundary: rebuild the
+    # recycled LM state incrementally (one small history-append program per
+    # chunk for the last buffer_frames frames, exploiting prefill_history's
+    # chaining property) and swap at the boundary — the hot path never runs
+    # a multi-frame prefill.  Exact-equal to the monolithic refill
+    # (tests/test_streaming_integration.py); requires fast_refill and
+    # buffer_frames % decode_chunk_frames == 0 (else falls back per boundary)
+    background_refill: bool = True
 
 
 @dataclass(frozen=True)

@@ -246,15 +246,21 @@ def prefill_history(
     Exactness is asserted by tests/test_streaming_integration.py."""
     dcfg = cfg.decoder
     B, b = recent_tokens.shape
-    assert b >= delay, "buffer_frames must be >= delay"
     cond = embed_content(params, recent_tokens)  # (B, b, D)
     emb = dual_ar.embed_codes(params["model"], dcfg, recent_codes)  # (B, b, D)
     if delay > 0:
-        # continuation pairs (c_t, a_{t-d}) for t in [Tp, Tp+b): the first
-        # d audio slots are the stashed ref tail, the rest recent codes
-        audio = jnp.concatenate([state.ref_tail_emb, emb[:, : b - delay]], axis=1)
+        # continuation pairs (c_t, a_{t-d}) for t in [Tp, Tp+b): the audio
+        # slots are the first b of [stashed tail (delay) ; recent codes (b)],
+        # the new tail is the remaining delay entries.  Written in cat/slice
+        # form so it holds for ANY b >= 1 (including b < delay), which makes
+        # prefill_history CHAIN: splitting the b pairs into consecutive
+        # groups and appending group-by-group gives the same state — the
+        # contract behind the background (per-chunk) refill
+        # (StreamConfig.background_refill).
+        cat = jnp.concatenate([state.ref_tail_emb, emb], axis=1)  # (B, d+b, D)
+        audio = cat[:, :b]
         seq = _interleave(cond, audio)  # (B, 2b, D)
-        new_tail = emb[:, b - delay :]
+        new_tail = cat[:, b:]
         audio_cache = jnp.zeros_like(emb[:, :1])
     else:
         # delay=0 prompts end on a cond slot with the last audio slot cached

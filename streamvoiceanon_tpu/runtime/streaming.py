@@ -207,6 +207,11 @@ class StreamSession:
         # to append the recent history to this state (arvc.prefill_history)
         self._base_lm = lm_state if (incremental and self.scfg.fast_refill) else None
         self._base_pos_host = self._lm_pos_host
+        # background-refill shadow state: rebuilt incrementally over the last
+        # buffer_frames frames before each boundary, swapped in at the
+        # boundary (see _process_chunk_incremental / _finish_refill)
+        self._shadow = None
+        self._shadow_appended = 0
 
         # ---- stream caches
         k = self.scfg.decode_chunk_frames
@@ -263,6 +268,10 @@ class StreamSession:
 
         new = _copy.copy(self)
         new.cv = converter
+        # a partially-built background-refill shadow stays on the old device
+        # and may be layout-incompatible — drop it; the next boundary falls
+        # back to the one-shot refill and background resumes afterwards
+        new._shadow, new._shadow_appended = None, 0
         # rebind the static config from the new converter: the target device
         # may use different program-selection flags (e.g. the Pallas fast
         # decoder on TPU while CPU prep ran the plain XLA scan) — state
@@ -430,13 +439,81 @@ class StreamSession:
         # refill scheduling is deterministic: pos advances 2 per frame from a
         # known start, so track it host-side without any device sync
         self._lm_pos_host += 2 * k
-        if self._lm_pos_host // 2 >= self.scfg.max_seq_frames:
-            self._refill_incremental()
+        r = self._lm_pos_host // 2
+        msf = self.scfg.max_seq_frames
+        b = self.scfg.buffer_frames
+        if (self._base_lm is not None and self.scfg.background_refill
+                and b % k == 0):
+            # background refill: the swap position r_swap is deterministic
+            # (first r + m*k >= msf); chunks whose end position r satisfies
+            # r_swap - r < b are the refill window — append THIS chunk's k
+            # (content, code) pairs to the shadow state so the boundary
+            # chunk only swaps (+ delay prefill), never runs a b-frame
+            # prefill on the hot path
+            rem = msf - r
+            in_window = rem <= 0 or (-(-rem // k)) * k < b
+            if in_window:
+                if self._shadow is None:
+                    self._shadow, self._shadow_appended = self._base_lm, 0
+                self._shadow = _prefill_history(
+                    self.cv.arvc_params, self.cfg, self._shadow,
+                    self._recent_tokens(k), self._recent_codes(k), self.delay,
+                )
+                self._shadow_appended += k
+            elif self._shadow is not None:
+                # window abandoned (max_seq_frames changed mid-window)
+                self._shadow, self._shadow_appended = None, 0
+        if r >= msf:
+            self._finish_refill()
         return wav, True
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _finish_refill(self):
+        """Boundary chunk: install the refilled LM state.  If the background
+        shadow holds exactly buffer_frames appended pairs it IS the refilled
+        state (prefill_history chains, so group-by-group appends equal the
+        one-shot b-frame append) — swap it in with only the delay prefill
+        left to dispatch.  Otherwise (first boundary after a config change,
+        misaligned chunking, background disabled) fall back to the one-shot
+        refill."""
+        b = self.scfg.buffer_frames
+        if self._shadow is not None and self._shadow_appended == b:
+            lm = self._shadow
+            self._lm_pos_host = self._base_pos_host + 2 * b
+            if self.delay > 0:
+                lm = _prefill_delay(
+                    self.cv.arvc_params, self.cfg, lm,
+                    self.fstate.tok_ring[:, -self.delay :], self.delay,
+                )
+                self._lm_pos_host += 2 * self.delay - 1
+            self.fstate = self.fstate._replace(lm=lm)
+        else:
+            self._refill_incremental()
+        self._shadow, self._shadow_appended = None, 0
+
+    def warm_refill_programs(self):
+        """Compile every program a refill boundary can dispatch (one-shot
+        fast/monolithic refill, the background per-chunk history append, the
+        delay prefill) against throwaway state — so no boundary on the live
+        hot path ever pays a compile.  bench.py calls this after warm-up."""
+        saved = (self.fstate, self._lm_pos_host, self._shadow,
+                 self._shadow_appended)
+        try:
+            self._refill_incremental()
+            jax.block_until_ready(self.fstate.lm)
+            if self._base_lm is not None and self.scfg.background_refill:
+                k = self.scfg.decode_chunk_frames
+                sh = _prefill_history(
+                    self.cv.arvc_params, self.cfg, self._base_lm,
+                    self._recent_tokens(k), self._recent_codes(k), self.delay,
+                )
+                jax.block_until_ready(sh.decode.k_cache)
+        finally:
+            (self.fstate, self._lm_pos_host, self._shadow,
+             self._shadow_appended) = saved
 
     def _refill_incremental(self):
         b = self.scfg.buffer_frames
