@@ -70,16 +70,30 @@ def log(*a):
     print(f"[{time.time()-T_START:6.1f}s]", *a, file=sys.stderr, flush=True)
 
 
-def _emit(rc=0):
-    """Print the single JSON result line (best-so-far) and hard-exit."""
-    global _emitted
+def _emit(rc=0, fail_reason=None):
+    """Print the single JSON result line (best-so-far) and hard-exit.
+
+    If NOTHING was measured (e.g. the backend aborted after the probe but
+    before the first measurement — observed once as a mid-run relay
+    `ABORTED`), still print an explicit machine-readable marker and exit 0:
+    the artifact must never be empty (round-2 postmortem)."""
+    global _best, _emitted
     with _best_lock:
         if _emitted:
             os._exit(rc)
         _emitted = True
-        if _best is not None:
-            print(json.dumps(_best), flush=True)
-    os._exit(rc if _best is not None else 1)
+        if _best is None:
+            reason = fail_reason or "no measurement completed"
+            _best = {
+                "metric": "streaming_rtf_chunk1",
+                "value": None,
+                "unit": f"skipped: {reason}",
+                "vs_baseline": None,
+                "skipped": reason,
+            }
+            _best.update(_extras)
+        print(json.dumps(_best), flush=True)
+    os._exit(0)
 
 
 def _on_signal(signum, frame):
@@ -645,25 +659,32 @@ def main():
 
             # paced at the frame rate: per-chunk delivery latency + xruns
             # (delivery after push + 2 frame periods would underrun a
-            # 1-frame-jitter-buffered player)
-            eng.latency_log.clear()
+            # 1-frame-jitter-buffered player).  The paced log aligns entry i
+            # with push i, so leftover flat-out chunks must fully drain
+            # first — skip the paced phase rather than misattribute them.
+            lats = []
             N_PACED = 96
-            push_times = []
-            next_t = time.perf_counter()
-            for i in range(N_PACED):
-                now = time.perf_counter()
-                if now < next_t:
-                    time.sleep(next_t - now)
-                push_times.append(time.perf_counter())
-                feed(i)
-                next_t += FRAME_SECONDS
-            deadline = time.perf_counter() + 10.0
-            while (len(eng.latency_log) < N_PACED
-                   and time.perf_counter() < deadline):
-                time.sleep(0.005)
-            lats = [t1 - push_times[i]
-                    for i, (_, t1) in enumerate(eng.latency_log)]
-            if done >= N_FLAT // 2 and len(lats) >= N_PACED // 2:
+            if done < N_FLAT:
+                log(f"flat-out drain incomplete ({done}/{N_FLAT}) — "
+                    f"skipping the paced measurement")
+            else:
+                eng.latency_log.clear()
+                push_times = []
+                next_t = time.perf_counter()
+                for i in range(N_PACED):
+                    now = time.perf_counter()
+                    if now < next_t:
+                        time.sleep(next_t - now)
+                    push_times.append(time.perf_counter())
+                    feed(i)
+                    next_t += FRAME_SECONDS
+                deadline = time.perf_counter() + 10.0
+                while (len(eng.latency_log) < N_PACED
+                       and time.perf_counter() < deadline):
+                    time.sleep(0.005)
+                lats = [t1 - push_times[i]
+                        for i, (_, t1) in enumerate(eng.latency_log)]
+            if len(lats) >= N_PACED // 2:
                 p50 = float(np.percentile(lats, 50))
                 p99 = float(np.percentile(lats, 99))
                 xruns = int(sum(l > 2 * FRAME_SECONDS for l in lats))
@@ -914,4 +935,4 @@ if __name__ == "__main__":
         import traceback
         traceback.print_exc(file=sys.stderr)
         log(f"bench failed ({type(e).__name__}: {e}) — emitting best-so-far if any")
-        _emit(0)
+        _emit(0, fail_reason=f"{type(e).__name__}: {e}")

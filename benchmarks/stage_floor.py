@@ -51,6 +51,9 @@ def main():
                          " comma list sweeps the LM stage per factor")
     ap.add_argument("--stages", default="",
                     help="comma list of stages to run (default: all)")
+    ap.add_argument("--greedy", action="store_true",
+                    help="argmax decoding instead of nucleus sampling — "
+                         "isolates the in-kernel top-p bisection cost")
     ap.add_argument("--paired-state-bf16", action="store_true",
                     help="ALSO re-measure encode/lm_decode/vocoder/"
                          "full_chunk (+ kernel sub-stages) with the live "
@@ -148,7 +151,7 @@ def main():
         ref = jax.device_put(jnp.asarray(ref_wav)[None], cpu)
         sess = StreamSession(
             cv_cpu, cfg.stream, key=jax.random.PRNGKey(1),
-            sampling=SamplingConfig(),
+            sampling=SamplingConfig(greedy=args.greedy),
             style=jax.device_put(jnp.asarray(
                 rng.standard_normal((1, 192)), jnp.bfloat16), cpu),
             timbre=jax.device_put(jnp.asarray(
@@ -518,7 +521,23 @@ def main():
                 else a, t)
 
         fs16 = cast16(fs)
-        z_head16 = z_head.astype(jnp.bfloat16)
+        # settle the dtype fixed-point: encoder activations promote to f32
+        # (f32 mel consts), so conv TAILS are f32 in steady state even under
+        # bf16 weights — exactly what a live bf16-state session converges to
+        # after its first chunk.  One body application settles every leaf;
+        # the big arrays (LM KV cache, WT ring, vocoder head tails) stay bf16
+        # because their updates cast to the stored dtype.
+        ts_, rg_, t_ = _encode_inc(cv.tokenizer_params, cfg, fs16.tok,
+                                   fs16.tok_ring, chunks[0], sess._mel_consts)
+        lm_, cr_, vs_, _w = _decode_vocode_inc(
+            cv.arvc_params, cv.vocoder_params, cfg, fs16.lm, fs16.code_ring,
+            fs16.voc, t_, sess.sampling, jax.random.PRNGKey(0))
+        fs16 = fs16._replace(tok=ts_, tok_ring=rg_, lm=lm_, code_ring=cr_,
+                             voc=vs_)
+        _h16 = fs16.voc["head"]
+        z_head16 = z_head.astype(
+            _h16.pre.dtype if hasattr(_h16, "pre")
+            else _h16["conv_pre"].tail.dtype)
         cand16 = {
             "encode": (cv.tokenizer_params, fs16.tok, fs16.tok_ring, chunks),
             "lm_decode": (cv.arvc_params, fs16.lm, jax.random.PRNGKey(5),

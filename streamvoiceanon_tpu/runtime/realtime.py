@@ -24,7 +24,16 @@ from streamvoiceanon_tpu.native import RingBuffer
 
 
 class RealtimeEngine:
-    def __init__(self, session, ring_seconds: float = 2.0):
+    def __init__(self, session, ring_seconds: float = 2.0,
+                 num_fetchers: int = 4):
+        """num_fetchers: size of the output-fetch thread pool.  On the axon
+        relay a host fetch costs a fixed ~25-30 ms regardless of size; a
+        single fetcher therefore caps the sustained rate at ~1 chunk / 30 ms
+        even though dispatches take ~2-5 ms.  A pool overlaps several
+        in-flight fetches (the relay pipelines concurrent materialization
+        requests) while an ordered-writeback turnstile keeps the audio ring
+        strictly in sequence.  1 restores the single-fetcher behavior; on
+        local PJRT (fetches ~µs) the pool is simply idle."""
         self.session = session
         self.chunk = session.scfg.decode_chunk_frames * session.spf
         cap = int(ring_seconds * session.cfg.sample_rate)
@@ -32,10 +41,11 @@ class RealtimeEngine:
         self.out_ring = RingBuffer(cap)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self.num_fetchers = max(1, int(num_fetchers))
         self.chunks_processed = 0
         self.last_latency_ms = 0.0
-        # per-chunk (t_read, t_delivered) perf_counter pairs, appended by the
-        # fetcher thread — benchmark instrumentation (bench.py pipelined mode)
+        # per-chunk (t_read, t_delivered) perf_counter pairs, appended in
+        # sequence order — benchmark instrumentation (bench.py pipelined mode)
         self.latency_log: list = []
 
     # ---- audio-thread side -------------------------------------------------
@@ -60,26 +70,40 @@ class RealtimeEngine:
     def _loop(self):
         """Compute thread: dispatch-only (no device sync — on the axon
         runtime a fetch costs a fixed ~25 ms, so materialization happens on
-        the fetcher thread and overlaps the next dispatches)."""
+        the fetcher pool and overlaps the next dispatches).  Fetchers pull
+        (seq, t0, wav) items, materialize CONCURRENTLY, then pass an
+        ordered-writeback turnstile so ring writes (and the latency log)
+        stay strictly in sequence."""
         import queue
 
         q: "queue.Queue" = queue.Queue(maxsize=64)
+        turnstile = threading.Condition()
+        state = {"next": 0}
 
         def fetcher():
             while True:
                 item = q.get()
                 if item is None:
                     return
-                t0, wav = item
-                self.out_ring.write(np.asarray(wav))
-                t1 = time.perf_counter()
-                self.last_latency_ms = (t1 - t0) * 1e3
-                self.latency_log.append((t0, t1))
-                self.chunks_processed += 1
+                seq, t0, wav = item
+                arr = np.asarray(wav)  # concurrent across the pool
+                with turnstile:
+                    while state["next"] != seq and not self._stop.is_set():
+                        turnstile.wait(timeout=0.5)
+                    self.out_ring.write(arr)
+                    t1 = time.perf_counter()
+                    self.last_latency_ms = (t1 - t0) * 1e3
+                    self.latency_log.append((t0, t1))
+                    self.chunks_processed += 1
+                    state["next"] = seq + 1
+                    turnstile.notify_all()
 
-        ft = threading.Thread(target=fetcher, daemon=True)
-        ft.start()
+        fts = [threading.Thread(target=fetcher, daemon=True)
+               for _ in range(self.num_fetchers)]
+        for ft in fts:
+            ft.start()
         use_async = getattr(self.session, "incremental", False)
+        seq = 0
         try:
             while not self._stop.is_set():
                 if self.in_ring.available() < self.chunk:
@@ -89,15 +113,20 @@ class RealtimeEngine:
                 t0 = time.perf_counter()
                 if use_async:
                     wav = self.session.process_chunk_async(block)
-                    q.put((t0, wav))
+                    q.put((seq, t0, wav))
+                    seq += 1
                 else:
                     out = self.session.process_chunk(block)
                     self.out_ring.write(np.asarray(out))
                     self.last_latency_ms = (time.perf_counter() - t0) * 1e3
                     self.chunks_processed += 1
         finally:
-            q.put(None)
-            ft.join(timeout=5.0)
+            with turnstile:
+                turnstile.notify_all()
+            for _ in fts:
+                q.put(None)
+            for ft in fts:
+                ft.join(timeout=5.0)
 
     def start(self) -> None:
         self._stop.clear()

