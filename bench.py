@@ -697,9 +697,11 @@ def main():
                     "paced_p99_latency_ms": round(p99 * 1e3, 1),
                     "paced_xruns": xruns,
                     "paced_chunks": N_PACED,
+                    "max_fetch_batch": int(eng.max_fetch_batch),
                     "mode": ("dispatch + fetch threads over SPSC rings "
                              "(runtime/realtime.py), fed at the 46.44ms "
-                             "frame rate"),
+                             "frame rate; adaptive batched fetch (backlog "
+                             "-> one device-concat transfer)"),
                 })
                 update_best(results, None, pipelined)
                 log(f"pipelined paced: p50={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms "
@@ -772,7 +774,7 @@ def main():
                         tok_p, cfg_tpu, fs.tok, fs.tok_ring, chunk,
                         sess._mel_consts)
                     kk, sub = jax.random.split(kk)
-                    lm, cring, voc, wav = _decode_vocode_inc(
+                    lm, cring, voc, wav, _k = _decode_vocode_inc(
                         arvc_p, voc_p, cfg_tpu, fs.lm, fs.code_ring, fs.voc,
                         toks, sess.sampling, sub)
                     fs = fs._replace(tok=tstate, tok_ring=ring, lm=lm,
@@ -843,7 +845,7 @@ def main():
                         tok_p, cfg_tpu, fs.tok, fs.tok_ring, chunk,
                         sess._mel_consts)
                     kk, sub = jax.random.split(kk)
-                    lm, cring, voc, wav = _decode_vocode_inc(
+                    lm, cring, voc, wav, _k = _decode_vocode_inc(
                         arvc_p, voc_p, cfg_tpu, fs.lm, fs.code_ring, fs.voc,
                         toks, sess.sampling, sub)
                     fs = fs._replace(tok=tstate, tok_ring=ring, lm=lm,

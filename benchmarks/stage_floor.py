@@ -264,7 +264,7 @@ def main():
             ts, rg, t = _encode_inc(tok_p, cfg, f.tok, f.tok_ring, chunk,
                                     sess._mel_consts)
             kk, sub = jax.random.split(kk)
-            lm, cr, vs, wav = _decode_vocode_inc(
+            lm, cr, vs, wav, _k = _decode_vocode_inc(
                 arvc_p, voc_p, cfg, f.lm, f.code_ring, f.voc, t,
                 sess.sampling, sub)
             f = f._replace(tok=ts, tok_ring=rg, lm=lm, code_ring=cr, voc=vs)
@@ -529,7 +529,7 @@ def main():
         # because their updates cast to the stored dtype.
         ts_, rg_, t_ = _encode_inc(cv.tokenizer_params, cfg, fs16.tok,
                                    fs16.tok_ring, chunks[0], sess._mel_consts)
-        lm_, cr_, vs_, _w = _decode_vocode_inc(
+        lm_, cr_, vs_, _w, _k = _decode_vocode_inc(
             cv.arvc_params, cv.vocoder_params, cfg, fs16.lm, fs16.code_ring,
             fs16.voc, t_, sess.sampling, jax.random.PRNGKey(0))
         fs16 = fs16._replace(tok=ts_, tok_ring=rg_, lm=lm_, code_ring=cr_,
@@ -638,7 +638,7 @@ def main():
                 ts, rg, t = _encode_inc(tok_p, cfg_b, f.tok, f.tok_ring,
                                         chunk, mc)
                 kk, sub = jax.random.split(kk)
-                lm, cr, vs, wav = _decode_vocode_inc(
+                lm, cr, vs, wav, _k = _decode_vocode_inc(
                     arvc_p, voc_p, cfg_b, f.lm, f.code_ring, f.voc, t,
                     smp, sub)
                 f = f._replace(tok=ts, tok_ring=rg, lm=lm, code_ring=cr,

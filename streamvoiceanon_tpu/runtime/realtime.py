@@ -32,8 +32,13 @@ class RealtimeEngine:
         even though dispatches take ~2-5 ms.  A pool overlaps several
         in-flight fetches (the relay pipelines concurrent materialization
         requests) while an ordered-writeback turnstile keeps the audio ring
-        strictly in sequence.  1 restores the single-fetcher behavior; on
-        local PJRT (fetches ~µs) the pool is simply idle."""
+        strictly in sequence.  Each fetch is additionally ADAPTIVE: a worker
+        drains the whole pending backlog and materializes it as one
+        device-concat transfer, so when the relay degrades and serializes
+        concurrent fetches the period still converges to dispatch-bound
+        (~RTT/backlog) instead of ~1 RTT/chunk.  1 restores the
+        single-fetcher behavior; on local PJRT (fetches ~µs) the pool is
+        simply idle and batches stay size 1."""
         self.session = session
         self.chunk = session.scfg.decode_chunk_frames * session.spf
         cap = int(ring_seconds * session.cfg.sample_rate)
@@ -43,6 +48,7 @@ class RealtimeEngine:
         self._thread: Optional[threading.Thread] = None
         self.num_fetchers = max(1, int(num_fetchers))
         self.chunks_processed = 0
+        self.max_fetch_batch = 0  # largest adaptive fetch batch seen
         self.last_latency_ms = 0.0
         # per-chunk (t_read, t_delivered) perf_counter pairs, appended in
         # sequence order — benchmark instrumentation (bench.py pipelined mode)
@@ -59,6 +65,19 @@ class RealtimeEngine:
         underrun)."""
         return self.out_ring.read(n)
 
+    def _materialize(self, wavs) -> list:
+        """Fetch a contiguous run of device chunks to host: one device-side
+        concat + ONE transfer for k>1, so a whole backlog costs a single
+        relay round-trip."""
+        import jax.numpy as jnp
+
+        self.max_fetch_batch = max(self.max_fetch_batch, len(wavs))
+        if len(wavs) == 1:
+            return [np.asarray(wavs[0])]
+        sizes = [int(w.shape[0]) for w in wavs]
+        cat = np.asarray(jnp.concatenate(wavs))
+        return np.split(cat, np.cumsum(sizes[:-1]))
+
     # ---- compute side ------------------------------------------------------
 
     def warm_up(self) -> None:
@@ -73,29 +92,52 @@ class RealtimeEngine:
         the fetcher pool and overlaps the next dispatches).  Fetchers pull
         (seq, t0, wav) items, materialize CONCURRENTLY, then pass an
         ordered-writeback turnstile so ring writes (and the latency log)
-        stay strictly in sequence."""
+        stay strictly in sequence.
+
+        Each fetcher drains ALL currently-pending chunks (a contiguous seq
+        run — the drain holds a lock), device-concats them and fetches ONCE:
+        one relay round-trip then delivers k chunks, so even when the relay
+        serializes concurrent materializations (degraded windows, where the
+        pool alone gets no overlap) the sustained period self-adjusts to
+        ~RTT/k -> dispatch-bound.  Under a paced real-time feed the queue
+        rarely holds more than one chunk, so per-chunk delivery latency
+        stays ~1 fetch."""
         import queue
 
         q: "queue.Queue" = queue.Queue(maxsize=64)
         turnstile = threading.Condition()
+        drain = threading.Lock()
         state = {"next": 0}
+        MAX_BATCH = 16
 
         def fetcher():
             while True:
-                item = q.get()
-                if item is None:
-                    return
-                seq, t0, wav = item
-                arr = np.asarray(wav)  # concurrent across the pool
+                with drain:
+                    item = q.get()
+                    if item is None:
+                        return
+                    batch = [item]
+                    while len(batch) < MAX_BATCH:
+                        try:
+                            nxt = q.get_nowait()
+                        except queue.Empty:
+                            break
+                        if nxt is None:
+                            q.put(None)  # hand shutdown to another worker
+                            break
+                        batch.append(nxt)
+                arrs = self._materialize([b[2] for b in batch])
                 with turnstile:
-                    while state["next"] != seq and not self._stop.is_set():
+                    while (state["next"] != batch[0][0]
+                           and not self._stop.is_set()):
                         turnstile.wait(timeout=0.5)
-                    self.out_ring.write(arr)
                     t1 = time.perf_counter()
-                    self.last_latency_ms = (t1 - t0) * 1e3
-                    self.latency_log.append((t0, t1))
-                    self.chunks_processed += 1
-                    state["next"] = seq + 1
+                    for (seq, t0, _), arr in zip(batch, arrs):
+                        self.out_ring.write(arr)
+                        self.last_latency_ms = (t1 - t0) * 1e3
+                        self.latency_log.append((t0, t1))
+                        self.chunks_processed += 1
+                    state["next"] = batch[-1][0] + 1
                     turnstile.notify_all()
 
         fts = [threading.Thread(target=fetcher, daemon=True)

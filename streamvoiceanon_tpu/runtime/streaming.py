@@ -133,11 +133,15 @@ def _decode_vocode_inc(arvc_params, voc_params, cfg: PipelineConfig, lm_state,
         st, codes = arvc.decode_one(arvc_params, cfg.arvc, st, tok[:, None], s2, sampling)
         return (st, kk), codes
 
-    (lm, _), codes = jax.lax.scan(step, (lm_state, key), jnp.swapaxes(toks, 0, 1))
+    (lm, kk), codes = jax.lax.scan(step, (lm_state, key), jnp.swapaxes(toks, 0, 1))
     codes = jnp.transpose(codes, (1, 2, 0))
     ring = jnp.concatenate([code_ring[:, :, codes.shape[-1]:], codes], axis=-1)
     voc, wav = vocoder.decode_stream(voc_params, cfg.vocoder, voc_state, codes)
-    return lm, ring, voc, wav
+    # the advanced scan key is returned so the caller can CHAIN it as the
+    # next chunk's key — a host-side jax.random.split would dispatch one
+    # extra tiny device program per chunk, which on the axon relay costs as
+    # much as the decode itself
+    return lm, ring, voc, wav, kk
 
 
 class StreamSession:
@@ -429,10 +433,10 @@ class StreamSession:
                 self.delay_prefilled = True
             return jnp.zeros((self.batch, n), jnp.float32), False
 
-        lm, code_ring, voc, wav = _decode_vocode_inc(
+        lm, code_ring, voc, wav, self.key = _decode_vocode_inc(
             self.cv.arvc_params, self.cv.vocoder_params, self.cfg,
             self.fstate.lm, self.fstate.code_ring, self.fstate.voc, toks,
-            self.sampling, self._next_key(),
+            self.sampling, self.key,
         )
         self.fstate = self.fstate._replace(lm=lm, code_ring=code_ring, voc=voc)
         self.frames_decoded += k

@@ -185,3 +185,56 @@ def test_engine_fetcher_pool_preserves_order(rng):
     t0s = [a for a, _ in eng.latency_log]
     t1s = [b for _, b in eng.latency_log]
     assert t0s == sorted(t0s) and t1s == sorted(t1s)
+
+
+def test_engine_adaptive_batched_fetch(rng):
+    """When materialization is slow (degraded relay), the fetcher drains the
+    backlog and fetches it as ONE device-concat transfer.  Force the slow
+    path by delaying _materialize and assert (a) multi-chunk batches actually
+    formed, (b) output still equals the sequential run, in order."""
+    import time as _t
+
+    from streamvoiceanon_tpu.config import SamplingConfig, StreamConfig
+    from streamvoiceanon_tpu.runtime.realtime import RealtimeEngine
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+    cv = tinymodels.tiny_converter()
+    style, timbre, ref_tokens, ref_codes = _artifacts(cv, rng)
+    scfg = StreamConfig(max_prompt_frames=8, max_seq_frames=40,
+                        buffer_frames=4, decode_chunk_frames=1, delay=2)
+
+    def mk():
+        return StreamSession(
+            cv, scfg, key=jax.random.PRNGKey(1),
+            sampling=SamplingConfig(greedy=True), style=style, timbre=timbre,
+            ref_tokens=ref_tokens, ref_codes=ref_codes)
+
+    n = 16
+    src = (np.random.default_rng(11).standard_normal(n * 2048) * 0.1
+           ).astype(np.float32)
+    want = np.concatenate(
+        [mk().process_chunk(src[i * 2048:(i + 1) * 2048]) for i in range(n)])
+
+    class SlowFetchEngine(RealtimeEngine):
+        def _materialize(self, wavs):
+            _t.sleep(0.05)  # one "relay round-trip" per fetch, any size
+            return super()._materialize(wavs)
+
+    eng = SlowFetchEngine(mk(), ring_seconds=4.0, num_fetchers=2)
+    eng.start()
+    try:
+        for i in range(n):
+            eng.push_input(src[i * 2048:(i + 1) * 2048])
+        deadline = _t.time() + 60
+        while eng.chunks_processed < n and _t.time() < deadline:
+            _t.sleep(0.01)
+        assert eng.chunks_processed == n
+        got = eng.pull_output(n * 2048)
+    finally:
+        eng.stop()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    t0s = [a for a, _ in eng.latency_log]
+    t1s = [b for _, b in eng.latency_log]
+    assert t0s == sorted(t0s) and t1s == sorted(t1s)
+    # with a 50 ms fetch and ~ms dispatches, the backlog must have batched
+    assert eng.max_fetch_batch > 1
