@@ -110,12 +110,16 @@ uint64_t svan_ring_write(void* h, const float* src, uint64_t n) {
 // If the producer lapped us (head - tail > capacity), resync tail to the
 // oldest still-valid sample.  After copying, re-check head: the producer may
 // have overwritten the copied region mid-copy — bounded retry, since the
-// producer advances at audio rate while the copy is microseconds.
+// producer normally advances at audio rate while the copy is microseconds.
+// If a flooding producer defeats every retry, FAIL SAFE: deliver zeros,
+// skip the consumer to the freshest write, and count the dropped span as
+// overruns — torn samples must never escape to the audio path.
 uint64_t svan_ring_read(void* h, float* dst, uint64_t n) {
   Ring* r = static_cast<Ring*>(h);
   uint64_t mask = r->capacity - 1;
   uint64_t tail = r->tail.load(std::memory_order_relaxed);
   uint64_t take = 0;
+  bool coherent = false;
   for (int attempt = 0; attempt < 4; ++attempt) {
     uint64_t head = r->head.load(std::memory_order_acquire);
     if (head - tail > r->capacity) tail = head - r->capacity;  // resync
@@ -124,8 +128,19 @@ uint64_t svan_ring_read(void* h, float* dst, uint64_t n) {
     for (uint64_t i = 0; i < take; ++i) dst[i] = r->data[(tail + i) & mask];
     // validate: did the producer wrap over [tail, tail+take) during the copy?
     uint64_t head2 = r->head.load(std::memory_order_acquire);
-    if (head2 - tail <= r->capacity) break;
+    if (head2 - tail <= r->capacity) {
+      coherent = true;
+      break;
+    }
     tail = head2 - r->capacity;  // torn copy — resync and retry
+  }
+  if (!coherent) {
+    // retries exhausted: the window in dst may be torn — discard it,
+    // resync to "now" and deliver silence for this call
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    r->overruns.fetch_add(head - tail, std::memory_order_relaxed);
+    tail = head;
+    take = 0;
   }
   for (uint64_t i = take; i < n; ++i) dst[i] = 0.0f;
   if (take < n) r->underruns.fetch_add(n - take, std::memory_order_relaxed);
@@ -141,6 +156,7 @@ uint64_t svan_ring_peek(void* h, float* dst, uint64_t n) {
   uint64_t mask = r->capacity - 1;
   uint64_t tail = r->tail.load(std::memory_order_relaxed);
   uint64_t take = 0;
+  bool coherent = false;
   for (int attempt = 0; attempt < 4; ++attempt) {
     uint64_t head = r->head.load(std::memory_order_acquire);
     if (head - tail > r->capacity) tail = head - r->capacity;
@@ -151,7 +167,16 @@ uint64_t svan_ring_peek(void* h, float* dst, uint64_t n) {
     for (uint64_t i = 0; i < take; ++i)
       dst[n - take + i] = r->data[(start + i) & mask];
     uint64_t head2 = r->head.load(std::memory_order_acquire);
-    if (head2 - start <= r->capacity) break;  // copied window still valid
+    if (head2 - start <= r->capacity) {  // copied window still valid
+      coherent = true;
+      break;
+    }
+  }
+  if (!coherent) {
+    // fail safe (matches svan_ring_read): a torn window never escapes —
+    // deliver silence; peek consumes nothing, so counters stay untouched
+    for (uint64_t i = 0; i < n; ++i) dst[i] = 0.0f;
+    take = 0;
   }
   return take;
 }
