@@ -24,6 +24,8 @@ from streamvoiceanon_tpu.native import RingBuffer
 
 
 class RealtimeEngine:
+    MAX_BATCH = 16  # adaptive-fetch drain limit (pow-2 concat buckets)
+
     def __init__(self, session, ring_seconds: float = 2.0,
                  num_fetchers: int = 4):
         """num_fetchers: size of the output-fetch thread pool.  On the axon
@@ -68,23 +70,38 @@ class RealtimeEngine:
     def _materialize(self, wavs) -> list:
         """Fetch a contiguous run of device chunks to host: one device-side
         concat + ONE transfer for k>1, so a whole backlog costs a single
-        relay round-trip."""
+        relay round-trip.  The concat is padded to the next power-of-2
+        bucket (2/4/8/16) so only a fixed program set ever compiles — each
+        of which warm_up() pre-compiles, keeping first-degraded-backlog
+        latency compile-free."""
         import jax.numpy as jnp
 
-        self.max_fetch_batch = max(self.max_fetch_batch, len(wavs))
-        if len(wavs) == 1:
+        k = len(wavs)
+        if k == 1:
             return [np.asarray(wavs[0])]
-        sizes = [int(w.shape[0]) for w in wavs]
-        cat = np.asarray(jnp.concatenate(wavs))
-        return np.split(cat, np.cumsum(sizes[:-1]))
+        b = 1 << (k - 1).bit_length()
+        padded = list(wavs) + [wavs[-1]] * (b - k)
+        sizes = [int(w.shape[0]) for w in padded]
+        cat = np.asarray(jnp.concatenate(padded))
+        return np.split(cat, np.cumsum(sizes[:-1]))[:k]
 
     # ---- compute side ------------------------------------------------------
 
     def warm_up(self) -> None:
         """Compile all chunk phases with silent input
-        (real-time-gui.py:1234-1274)."""
+        (real-time-gui.py:1234-1274), plus every adaptive-fetch concat
+        bucket — a first degraded-relay backlog must not pay a compile
+        inside the fetcher thread."""
         for _ in range(self.session.delay + 3):
             self.session.process_chunk(np.zeros(self.chunk, np.float32))
+        import jax
+        import jax.numpy as jnp
+
+        z = jnp.zeros((self.chunk,), jnp.float32)
+        b = 2
+        while b <= self.MAX_BATCH:
+            jax.block_until_ready(jnp.concatenate([z] * b))
+            b <<= 1
 
     def _loop(self):
         """Compute thread: dispatch-only (no device sync — on the axon
@@ -108,7 +125,6 @@ class RealtimeEngine:
         turnstile = threading.Condition()
         drain = threading.Lock()
         state = {"next": 0}
-        MAX_BATCH = 16
 
         def fetcher():
             while True:
@@ -117,7 +133,7 @@ class RealtimeEngine:
                     if item is None:
                         return
                     batch = [item]
-                    while len(batch) < MAX_BATCH:
+                    while len(batch) < self.MAX_BATCH:
                         try:
                             nxt = q.get_nowait()
                         except queue.Empty:
@@ -132,6 +148,9 @@ class RealtimeEngine:
                            and not self._stop.is_set()):
                         turnstile.wait(timeout=0.5)
                     t1 = time.perf_counter()
+                    # instrumentation updated under the turnstile: fetcher
+                    # threads would otherwise race the read-modify-write
+                    self.max_fetch_batch = max(self.max_fetch_batch, len(batch))
                     for (seq, t0, _), arr in zip(batch, arrs):
                         self.out_ring.write(arr)
                         self.last_latency_ms = (t1 - t0) * 1e3

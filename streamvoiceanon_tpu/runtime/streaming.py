@@ -98,7 +98,9 @@ class FusedState(NamedTuple):
     voc: Dict
     tok_ring: jax.Array  # (B, R) recent content tokens (refill history)
     code_ring: jax.Array  # (B, nq, R) recent decoded codes (refill history)
-    key: jax.Array
+    # NOTE: the sampling PRNG key lives on the SESSION (self.key), chained
+    # through _decode_vocode_inc's returned scan key — a key field here would
+    # be stale dead state and a trap for snapshot/restore readers.
 
 
 # NOTE: the per-chunk work is deliberately split into THREE jitted programs
@@ -240,7 +242,6 @@ class StreamSession:
                     (B, self.cfg.arvc.decoder.num_codebooks, self.tok_ring_len),
                     jnp.int32,
                 ),
-                key=self.key,
             )
         else:
             self.state = lm_state
@@ -470,10 +471,6 @@ class StreamSession:
         if r >= msf:
             self._finish_refill()
         return wav, True
-
-    def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
-        return sub
 
     def _finish_refill(self):
         """Boundary chunk: install the refilled LM state.  If the background

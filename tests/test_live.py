@@ -164,8 +164,13 @@ def test_engine_fetcher_pool_preserves_order(rng):
     src = (np.random.default_rng(7).standard_normal(n * 2048) * 0.1
            ).astype(np.float32)
 
+    # ONE session carried across all chunks (a fresh session per chunk would
+    # stay inside the delay window and emit only zeros — vacuous reference)
+    ref_sess = mk()
     want = np.concatenate(
-        [mk().process_chunk(src[i * 2048:(i + 1) * 2048]) for i in range(n)])
+        [ref_sess.process_chunk(src[i * 2048:(i + 1) * 2048]) for i in range(n)])
+    scale = float(np.abs(want).max())
+    assert scale > 0, "sequential reference produced no signal"
 
     eng = RealtimeEngine(mk(), ring_seconds=4.0, num_fetchers=4)
     eng.start()
@@ -180,7 +185,9 @@ def test_engine_fetcher_pool_preserves_order(rng):
         got = eng.pull_output(n * 2048)
     finally:
         eng.stop()
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # tolerance well below the signal magnitude: misordered or corrupted
+    # writeback mismatches at ~full scale and fails
+    np.testing.assert_allclose(got, want, atol=scale * 1e-5, rtol=0)
     # the log must be in push order: timestamps monotonic in both fields
     t0s = [a for a, _ in eng.latency_log]
     t1s = [b for _, b in eng.latency_log]
@@ -212,8 +219,11 @@ def test_engine_adaptive_batched_fetch(rng):
     n = 16
     src = (np.random.default_rng(11).standard_normal(n * 2048) * 0.1
            ).astype(np.float32)
+    ref_sess = mk()  # one session (see pool test: fresh-per-chunk is vacuous)
     want = np.concatenate(
-        [mk().process_chunk(src[i * 2048:(i + 1) * 2048]) for i in range(n)])
+        [ref_sess.process_chunk(src[i * 2048:(i + 1) * 2048]) for i in range(n)])
+    scale = float(np.abs(want).max())
+    assert scale > 0, "sequential reference produced no signal"
 
     class SlowFetchEngine(RealtimeEngine):
         def _materialize(self, wavs):
@@ -232,7 +242,7 @@ def test_engine_adaptive_batched_fetch(rng):
         got = eng.pull_output(n * 2048)
     finally:
         eng.stop()
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(got, want, atol=scale * 1e-5, rtol=0)
     t0s = [a for a, _ in eng.latency_log]
     t1s = [b for _, b in eng.latency_log]
     assert t0s == sorted(t0s) and t1s == sorted(t1s)
