@@ -631,10 +631,28 @@ def main():
     # period is dispatch-bound while every chunk is still delivered
     # individually (true live operation, robust to relay fetch cost — unlike
     # the grouped M modes whose latency grows with M).
+    #
+    # COMPOSITE claim (VERDICT r4 next #2): the whole phase runs with
+    # max_seq_frames=128 so both the flat-out and the paced windows cross
+    # several prompt-refill boundaries with background refill ON (its extra
+    # per-chunk shadow dispatch is therefore INCLUDED in every number), and
+    # the paced delivery is judged against an explicitly stated latency
+    # budget (below) rather than a bare xrun count.
+    #
+    # Delivered-latency budget (reference analogue real-time-gui.py:1285-1287
+    # displays stream latency + block + inference): a player with a J-frame
+    # jitter buffer underruns iff delivery latency exceeds J frame periods.
+    # We state J=2 (92.88 ms delivery budget) and report end-to-end
+    # mouth-to-ear latency = 1 block frame + algorithmic delay + jitter
+    # buffer explicitly in the JSON.
+    JITTER_FRAMES = 2
+    DELIVERY_BUDGET_S = JITTER_FRAMES * FRAME_SECONDS
     pipelined = None
     if budget_left() > 180:
         from streamvoiceanon_tpu.runtime.realtime import RealtimeEngine
 
+        saved_scfg_5b = sess.scfg
+        sess.scfg = _rep(sess.scfg, max_seq_frames=128)
         eng = RealtimeEngine(sess, ring_seconds=8.0)
         eng.start()
         try:
@@ -644,6 +662,7 @@ def main():
             # flat-out: push everything, wait for drain -> sustained period
             N_FLAT = 128
             base = eng.chunks_processed
+            refills_flat0 = sess.refill_count
             t0 = time.perf_counter()
             for i in range(N_FLAT):
                 feed(i)
@@ -653,22 +672,25 @@ def main():
                 time.sleep(0.005)
             done = eng.chunks_processed - base
             flat_period = (time.perf_counter() - t0) / max(done, 1)
+            refills_flat = sess.refill_count - refills_flat0
             log(f"pipelined flat-out: {done}/{N_FLAT} chunks, "
                 f"period={flat_period*1e3:.2f}ms "
-                f"RTF={flat_period/FRAME_SECONDS:.3f}")
+                f"RTF={flat_period/FRAME_SECONDS:.3f} "
+                f"({refills_flat} refill boundaries crossed)")
 
-            # paced at the frame rate: per-chunk delivery latency + xruns
-            # (delivery after push + 2 frame periods would underrun a
-            # 1-frame-jitter-buffered player).  The paced log aligns entry i
-            # with push i, so leftover flat-out chunks must fully drain
-            # first — skip the paced phase rather than misattribute them.
+            # paced at the frame rate: per-chunk delivery latency vs the
+            # stated budget.  The paced log aligns entry i with push i, so
+            # leftover flat-out chunks must fully drain first — skip the
+            # paced phase rather than misattribute them.
             lats = []
             N_PACED = 96
+            refills_paced = 0
             if done < N_FLAT:
                 log(f"flat-out drain incomplete ({done}/{N_FLAT}) — "
                     f"skipping the paced measurement")
             else:
                 eng.latency_log.clear()
+                refills_paced0 = sess.refill_count
                 push_times = []
                 next_t = time.perf_counter()
                 for i in range(N_PACED):
@@ -684,12 +706,14 @@ def main():
                     time.sleep(0.005)
                 lats = [t1 - push_times[i]
                         for i, (_, t1) in enumerate(eng.latency_log)]
+                refills_paced = sess.refill_count - refills_paced0
             if len(lats) >= N_PACED // 2:
                 p50 = float(np.percentile(lats, 50))
                 p99 = float(np.percentile(lats, 99))
-                xruns = int(sum(l > 2 * FRAME_SECONDS for l in lats))
+                xruns = int(sum(l > DELIVERY_BUDGET_S for l in lats))
                 xruns += N_PACED - len(lats)
                 pipelined = {"period_s": flat_period, "p50_latency_s": p50}
+                delay_frames = sess.delay
                 add_section("pipelined", {
                     "period_ms": round(flat_period * 1e3, 3),
                     "rtf": round(flat_period / FRAME_SECONDS, 4),
@@ -697,15 +721,31 @@ def main():
                     "paced_p99_latency_ms": round(p99 * 1e3, 1),
                     "paced_xruns": xruns,
                     "paced_chunks": N_PACED,
+                    "refills_crossed_flat": int(refills_flat),
+                    "refills_crossed_paced": int(refills_paced),
+                    "max_seq_frames": 128,
+                    "latency_budget": {
+                        "jitter_buffer_frames": JITTER_FRAMES,
+                        "delivery_budget_ms": round(DELIVERY_BUDGET_S * 1e3, 1),
+                        "p99_within_budget": bool(p99 <= DELIVERY_BUDGET_S),
+                        "block_ms": round(FRAME_SECONDS * 1e3, 1),
+                        "algorithmic_delay_ms": round(
+                            delay_frames * FRAME_SECONDS * 1e3, 1),
+                        "end_to_end_ms": round(
+                            (1 + delay_frames + JITTER_FRAMES)
+                            * FRAME_SECONDS * 1e3, 1),
+                    },
                     "max_fetch_batch": int(eng.max_fetch_batch),
                     "mode": ("dispatch + fetch threads over SPSC rings "
                              "(runtime/realtime.py), fed at the 46.44ms "
-                             "frame rate; adaptive batched fetch (backlog "
-                             "-> one device-concat transfer)"),
+                             "frame rate; adaptive batched fetch; "
+                             "max_seq_frames=128 with background refill ON "
+                             "so the run crosses prompt-refill boundaries"),
                 })
                 update_best(results, None, pipelined)
                 log(f"pipelined paced: p50={p50*1e3:.1f}ms p99={p99*1e3:.1f}ms "
-                    f"xruns={xruns}/{N_PACED}")
+                    f"xruns={xruns}/{N_PACED} (budget "
+                    f"{DELIVERY_BUDGET_S*1e3:.0f}ms) refills={refills_paced}")
             else:
                 log(f"pipelined run incomplete (flat {done}/{N_FLAT}, "
                     f"paced {len(lats)}/{N_PACED}) — discarding")
@@ -713,6 +753,176 @@ def main():
             log(f"pipelined phase failed ({type(e).__name__}: {e})")
         finally:
             eng.stop()
+            sess.scfg = saved_scfg_5b
+
+    # ---- phase 5m: batched multi-stream live serving (TPU economics) -------
+    # N concurrent live streams through ONE batched session
+    # (StreamSession.fanout + MultiStreamEngine): every per-chunk program
+    # amortizes the serial-latency-bound stages (8-step fast loop, vocoder
+    # conv chain — docs/KERNELS.md) across the batch.  The reference serves
+    # exactly ONE stream per GPU (real-time-gui.py:1316-1359).  Composite
+    # discipline as 5b: max_seq_frames=128 + background refill, per-tick
+    # delivery judged against the same stated budget.
+    if budget_left() > 240:
+        from streamvoiceanon_tpu.runtime.realtime import MultiStreamEngine
+
+        ms_all = {}
+        for B in (16, 32, 8):
+            if budget_left() < (200 if not ms_all else 150):
+                log(f"deadline near — stopping multistream sweep at {list(ms_all)}")
+                break
+            try:
+                t0 = time.time()
+                sess_b = sess.fanout(B)
+                sess_b.scfg = _rep(sess_b.scfg, max_seq_frames=128)
+                jax.block_until_ready(sess_b.fstate.lm.decode.k_cache)
+                log(f"multistream B={B}: fanout {time.time()-t0:.1f}s")
+                t0 = time.time()
+                fsb = sess_b.fstate
+                chunk_b = jax.device_put(
+                    jnp.zeros((B, spf), jnp.float32), tpu_dev)
+                toks_b = jax.device_put(jnp.zeros((B, 1), jnp.int32), tpu_dev)
+                jobs = [
+                    lambda: _encode_inc.lower(
+                        cv_tpu.tokenizer_params, cfg_tpu, fsb.tok,
+                        fsb.tok_ring, chunk_b, sess_b._mel_consts).compile(),
+                    lambda: _decode_vocode_inc.lower(
+                        cv_tpu.arvc_params, cv_tpu.vocoder_params, cfg_tpu,
+                        fsb.lm, fsb.code_ring, fsb.voc, toks_b,
+                        sess_b.sampling, sess_b.key).compile(),
+                ]
+                errs, ths = [], []
+                for job in jobs:
+                    def run(job=job):
+                        try:
+                            job()
+                        except Exception as e:  # noqa: BLE001
+                            errs.append(e)
+                    th = threading.Thread(target=run, daemon=True)
+                    th.start()
+                    ths.append(th)
+                for th in ths:
+                    th.join()
+                if errs:
+                    raise errs[0]
+                log(f"multistream B={B}: AOT compiles {time.time()-t0:.1f}s")
+                t0 = time.time()
+                try:
+                    sess_b.warm_refill_programs()
+                except Exception as e:  # noqa: BLE001
+                    log(f"B={B} refill warm failed ({e}) — boundaries may "
+                        f"pay a compile")
+                # slack=3 frames: the single bench feeder thread pushes all B
+                # streams in a loop; a transient feeder stall must not fire a
+                # silence-padded tick that would misalign the latency log
+                eng = MultiStreamEngine(sess_b, ring_seconds=8.0, slack=3.0)
+                eng.warm_up()
+                log(f"multistream B={B}: warm-up {time.time()-t0:.1f}s")
+
+                eng.start()
+                try:
+                    def feed_all(i):
+                        blk = src_wav[(i % 60) * spf : (i % 60 + 1) * spf]
+                        for s in range(B):
+                            eng.push_input(s, blk)
+
+                    # flat-out capacity
+                    N_FLAT = 48
+                    base = eng.ticks_processed
+                    t0 = time.perf_counter()
+                    for i in range(N_FLAT):
+                        feed_all(i)
+                    deadline = t0 + min(45.0, max(10.0, budget_left() - 90))
+                    while (eng.ticks_processed - base < N_FLAT
+                           and time.perf_counter() < deadline):
+                        time.sleep(0.005)
+                    done = eng.ticks_processed - base
+                    period = (time.perf_counter() - t0) / max(done, 1)
+                    cap_audio = B * FRAME_SECONDS / period
+                    log(f"multistream B={B} flat-out: {done}/{N_FLAT} ticks, "
+                        f"period={period*1e3:.2f}ms -> {cap_audio:.1f} "
+                        f"audio-s/s capacity")
+
+                    # paced at the frame rate: per-tick delivery latency
+                    lats = []
+                    N_PACED = 96
+                    refills0 = sess_b.refill_count
+                    if done == N_FLAT:
+                        eng.latency_log.clear()
+                        push_times = []
+                        next_t = time.perf_counter()
+                        for i in range(N_PACED):
+                            now = time.perf_counter()
+                            if now < next_t:
+                                time.sleep(next_t - now)
+                            push_times.append(time.perf_counter())
+                            feed_all(i)
+                            next_t += FRAME_SECONDS
+                        deadline = time.perf_counter() + 10.0
+                        while (len(eng.latency_log) < N_PACED
+                               and time.perf_counter() < deadline):
+                            time.sleep(0.005)
+                        lats = [t1 - push_times[i]
+                                for i, (_, t1) in enumerate(eng.latency_log)
+                                if i < len(push_times)]
+                finally:
+                    eng.stop()
+                if len(lats) >= N_PACED // 2:
+                    p50 = float(np.percentile(lats, 50))
+                    p99 = float(np.percentile(lats, 99))
+                    xr = int(sum(l > DELIVERY_BUDGET_S for l in lats))
+                    xr += max(0, N_PACED - len(lats))
+                    ms_all[B] = {
+                        "streams": B,
+                        "flat_period_ms": round(period * 1e3, 2),
+                        "audio_s_per_s": round(cap_audio, 1),
+                        "paced_p50_latency_ms": round(p50 * 1e3, 1),
+                        "paced_p99_latency_ms": round(p99 * 1e3, 1),
+                        "paced_xruns": xr,
+                        "paced_chunks": N_PACED,
+                        "p50_within_frame_budget": bool(p50 <= FRAME_SECONDS),
+                        "p99_within_delivery_budget": bool(
+                            p99 <= DELIVERY_BUDGET_S),
+                        "refills_crossed_paced": int(
+                            sess_b.refill_count - refills0),
+                        "missed_chunks": int(sum(eng.missed)),
+                        "max_fetch_batch": int(eng.max_fetch_batch),
+                    }
+                    log(f"multistream B={B} paced: p50={p50*1e3:.1f}ms "
+                        f"p99={p99*1e3:.1f}ms xruns={xr}/{N_PACED} "
+                        f"refills={ms_all[B]['refills_crossed_paced']}")
+                else:
+                    log(f"multistream B={B}: incomplete "
+                        f"(flat {done}/{N_FLAT}, paced {len(lats)}) — skipped")
+                del sess_b, eng
+            except Exception as e:  # noqa: BLE001
+                log(f"multistream B={B} failed ({type(e).__name__}: "
+                    f"{str(e)[:200]})")
+        if ms_all:
+            # headline = best capacity among B whose paced p50 fits the
+            # 46.44 ms frame budget (every stream live)
+            fit = [v for v in ms_all.values() if v["p50_within_frame_budget"]]
+            best = max(fit or list(ms_all.values()),
+                       key=lambda v: v["audio_s_per_s"])
+            add_section("multistream", {
+                "best": best,
+                "per_streams": {str(k): v for k, v in sorted(ms_all.items())},
+                "latency_budget_ms": round(DELIVERY_BUDGET_S * 1e3, 1),
+                "mode": ("B live streams through ONE batched session "
+                         "(StreamSession.fanout -> MultiStreamEngine: "
+                         "per-stream SPSC rings, batched dispatch, ordered "
+                         "adaptive batched fetch); shared reference speaker "
+                         "(state tiled on-device), distinct per-stream "
+                         "source audio; per-stream references cost identical "
+                         "compute (tests/test_multistream.py); "
+                         "max_seq_frames=128 + background refill ON"),
+            })
+            with _best_lock:
+                if _best is not None:
+                    _best["unit"] += (
+                        f"; multistream: {best['audio_s_per_s']} audio-s/s "
+                        f"at B={best['streams']} (p50 "
+                        f"{best['paced_p50_latency_ms']}ms)")
 
     # ---- phase 5c: refill-inclusive per-chunk percentiles --------------------
     # Shrink max_seq_frames so the measured window crosses several refill
@@ -869,15 +1079,25 @@ def main():
             # subtracting it isolates pure on-device compute per chunk
             null_jit = jax.jit(lambda xs: jnp.sum(xs) * 1.0)
             np.asarray(null_jit(chunks_dev))
-            floor = null = float("inf")
-            for _ in range(2):
+            # repeat-and-spread protocol (VERDICT r4 next #5): N paired
+            # passes; report median + spread so cross-session deltas can be
+            # judged against measurement noise instead of single shots
+            floors, nulls = [], []
+            N_FLOOR = 6
+            for _ in range(N_FLOOR):
+                if budget_left() < 45:
+                    break
                 t0 = time.perf_counter()
                 np.asarray(scan_jit(*args))
-                floor = min(floor, (time.perf_counter() - t0) / K)
+                floors.append((time.perf_counter() - t0) / K)
                 t0 = time.perf_counter()
                 np.asarray(null_jit(chunks_dev))
-                null = min(null, (time.perf_counter() - t0) / K)
-            compute = max(floor - null, 0.0)
+                nulls.append((time.perf_counter() - t0) / K)
+            floors_a, nulls_a = np.asarray(floors), np.asarray(nulls)
+            floor = float(np.median(floors_a))
+            null = float(np.median(nulls_a))
+            computes = np.maximum(floors_a - nulls_a, 0.0)
+            compute = float(np.median(computes))
             # static roofline model for the composite per-chunk program:
             # achieved HBM bandwidth = modeled moved-bytes / measured compute
             roofline = None
@@ -896,8 +1116,16 @@ def main():
                 "ms_per_chunk": round(floor * 1e3, 3),
                 "rtf": round(floor / FRAME_SECONDS, 4),
                 "pure_compute_ms": round(compute * 1e3, 3),
+                "n": int(len(floors)),
+                "ms_per_chunk_spread": [
+                    round(float(floors_a.min()) * 1e3, 3),
+                    round(float(floors_a.max()) * 1e3, 3)],
+                "pure_compute_ms_spread": [
+                    round(float(computes.min()) * 1e3, 3),
+                    round(float(computes.max()) * 1e3, 3)],
                 "method": (f"lax.scan x{K}, one dispatch+fetch; null-"
-                           f"program dispatch+fetch subtracted"),
+                           f"program dispatch+fetch subtracted; median of "
+                           f"{len(floors)} paired passes, spread=[min,max]"),
             })
             if roofline is not None:
                 add_section("roofline", roofline)

@@ -224,6 +224,7 @@ class StreamSession:
         self.tok_ring_len = self.scfg.buffer_frames + max(self.delay, 1) + k + 8
         self.tokens_seen = 0
         self.frames_decoded = 0
+        self.refill_count = 0  # prompt-refill boundaries crossed (host counter)
         self.delay_prefilled = self.delay == 0
 
         if incremental:
@@ -370,6 +371,80 @@ class StreamSession:
         sess.cv = converter  # rebound (with layout migration) by transfer
         return sess.transfer(converter, device)
 
+    def fanout(self, B: int) -> "StreamSession":
+        """Clone this prepared single-stream session into a B-stream batched
+        session by tiling every batch-dim state leaf on-device.
+
+        Serving primitive for batched live conversion (runtime/realtime.py
+        MultiStreamEngine): N callers anonymized to a shared target speaker
+        reuse ONE prompt prefill — the clone costs a single tiling program
+        instead of a B-sized prompt prefill compile + B reference encodes.
+        Per-stream references remain fully supported by constructing the
+        session with batched refs (tests/test_multistream.py); the compute
+        cost per chunk is identical either way.
+
+        The batch axis of each leaf is identified structurally: against a
+        `jax.eval_shape` template of the B-stream state, exactly one axis
+        differs (1 -> B) for batched leaves and none for shared leaves
+        (positions, counters)."""
+        assert self.incremental and self.batch == 1, "fanout needs a 1-stream incremental session"
+        import copy as _copy
+
+        templates = {
+            "tok": jax.eval_shape(
+                lambda: tokenizer_stream.init_stream_state(
+                    self.cv.tokenizer_params, self.cfg.tokenizer, B,
+                    self.state_dtype)),
+            "voc": jax.eval_shape(
+                lambda: vocoder.init_stream_state(
+                    self.cv.vocoder_params, self.cfg.vocoder, B,
+                    self.state_dtype)),
+            "lm": jax.eval_shape(
+                lambda rt, rc, s, t: arvc.prefill_prompt(
+                    self.cv.arvc_params, self.cfg.arvc, rt, rc, s, t,
+                    delay=self.delay, cache_dtype=self.state_dtype),
+                jax.ShapeDtypeStruct((B, self.Tp), self.ref_tokens.dtype),
+                jax.ShapeDtypeStruct((B,) + self.ref_codes.shape[1:],
+                                     self.ref_codes.dtype),
+                None if self.style is None else jax.ShapeDtypeStruct(
+                    (B,) + self.style.shape[1:], self.style.dtype),
+                None if self.timbre is None else jax.ShapeDtypeStruct(
+                    (B,) + self.timbre.shape[1:], self.timbre.dtype)),
+        }
+
+        def tile_like(tree, tgt):
+            def leaf(x, t):
+                if tuple(x.shape) == tuple(t.shape):
+                    return x
+                diff = [i for i, (a, b) in enumerate(zip(x.shape, t.shape))
+                        if a != b]
+                assert (len(x.shape) == len(t.shape) and len(diff) == 1
+                        and x.shape[diff[0]] == 1
+                        and t.shape[diff[0]] == B), (x.shape, t.shape)
+                return jnp.repeat(x, B, axis=diff[0])
+            return jax.tree.map(leaf, tree, tgt)
+
+        rep0 = lambda x: None if x is None else jnp.repeat(x, B, axis=0)
+        new = _copy.copy(self)
+        new.batch = B
+        new._shadow, new._shadow_appended = None, 0
+        new.ref_tokens = rep0(self.ref_tokens)
+        new.ref_codes = rep0(self.ref_codes)
+        new.style = rep0(self.style)
+        new.timbre = rep0(self.timbre)
+        tile_all = jax.jit(lambda fs, base: (
+            FusedState(
+                tok=tile_like(fs.tok, templates["tok"]),
+                lm=tile_like(fs.lm, templates["lm"]),
+                voc=tile_like(fs.voc, templates["voc"]),
+                tok_ring=jnp.repeat(fs.tok_ring, B, axis=0),
+                code_ring=jnp.repeat(fs.code_ring, B, axis=0),
+            ),
+            None if base is None else tile_like(base, templates["lm"]),
+        ))
+        new.fstate, new._base_lm = tile_all(self.fstate, self._base_lm)
+        return new
+
     def _lm_state(self):
         return self.fstate.lm if self.incremental else self.state
 
@@ -480,6 +555,7 @@ class StreamSession:
         left to dispatch.  Otherwise (first boundary after a config change,
         misaligned chunking, background disabled) fall back to the one-shot
         refill."""
+        self.refill_count += 1
         b = self.scfg.buffer_frames
         if self._shadow is not None and self._shadow_appended == b:
             lm = self._shadow
@@ -593,6 +669,7 @@ class StreamSession:
         return np.asarray(wav[0, -n:])
 
     def _refill_window(self):
+        self.refill_count += 1
         b = self.scfg.buffer_frames
         ext_codes = jnp.concatenate(
             [self.ref_codes, self.code_window[:, :, -b:]], axis=-1

@@ -248,3 +248,104 @@ def test_engine_adaptive_batched_fetch(rng):
     assert t0s == sorted(t0s) and t1s == sorted(t1s)
     # with a 50 ms fetch and ~ms dispatches, the backlog must have batched
     assert eng.max_fetch_batch > 1
+
+
+def _batched_session(cv, rng, B, scfg, greedy=True):
+    from streamvoiceanon_tpu.config import SamplingConfig
+    from streamvoiceanon_tpu.runtime.streaming import StreamSession
+
+    ref = (rng.standard_normal((1, 4 * 2048)) * 0.1).astype(np.float32)
+    ref_tokens = jnp.repeat(cv.content_tokens(jnp.asarray(ref)), B, 0)
+    ref_codes = jnp.repeat(cv.audio_codes(jnp.asarray(ref)), B, 0)
+    style = jnp.asarray(rng.standard_normal((B, 192)), jnp.float32)
+    timbre = jnp.asarray(rng.standard_normal((B, 32, 128)), jnp.float32)
+    return StreamSession(
+        cv, scfg, key=jax.random.PRNGKey(1),
+        sampling=SamplingConfig(greedy=greedy), style=style, timbre=timbre,
+        ref_tokens=ref_tokens, ref_codes=ref_codes, batch=B)
+
+
+def test_multistream_engine_matches_batched_sequential(rng):
+    """MultiStreamEngine (per-stream rings + batched dispatch + ordered
+    fetcher pool) must deliver, per stream, exactly the batched sequential
+    session's output."""
+    from streamvoiceanon_tpu.config import StreamConfig
+    from streamvoiceanon_tpu.runtime.realtime import MultiStreamEngine
+
+    cv = tinymodels.tiny_converter()
+    B, n = 3, 16
+    scfg = StreamConfig(max_prompt_frames=8, max_seq_frames=40,
+                        buffer_frames=4, decode_chunk_frames=1, delay=2)
+    src = (np.random.default_rng(5).standard_normal((B, n * 2048)) * 0.1
+           ).astype(np.float32)
+
+    ref_sess = _batched_session(cv, np.random.default_rng(0), B, scfg)
+    want = np.concatenate(
+        [ref_sess.process_chunk(src[:, i * 2048:(i + 1) * 2048])
+         for i in range(n)], axis=-1)
+    assert float(np.abs(want).max()) > 0, "reference produced no signal"
+
+    eng = MultiStreamEngine(
+        _batched_session(cv, np.random.default_rng(0), B, scfg),
+        ring_seconds=4.0, num_fetchers=3)
+    eng.start()
+    try:
+        for i in range(n):
+            for s in range(B):
+                eng.push_input(s, src[s, i * 2048:(i + 1) * 2048])
+        import time as _t
+        deadline = _t.time() + 60
+        while eng.ticks_processed < n and _t.time() < deadline:
+            _t.sleep(0.01)
+        assert eng.ticks_processed == n
+        got = np.stack([eng.pull_output(s, n * 2048) for s in range(B)])
+    finally:
+        eng.stop()
+    np.testing.assert_allclose(got, want,
+                               atol=float(np.abs(want).max()) * 1e-5, rtol=0)
+    assert eng.missed == [0] * B
+    t0s = [a for a, _ in eng.latency_log]
+    t1s = [b for _, b in eng.latency_log]
+    assert t0s == sorted(t0s) and t1s == sorted(t1s)
+
+
+def test_multistream_engine_late_stream_gets_silence(rng):
+    """A stream that stops delivering capture audio must not stall the other
+    streams: ticks keep firing on the frame clock with silence standing in,
+    and the late stream's miss counter records it."""
+    from streamvoiceanon_tpu.config import StreamConfig
+    from streamvoiceanon_tpu.runtime.realtime import MultiStreamEngine
+
+    cv = tinymodels.tiny_converter()
+    B, n = 2, 8
+    scfg = StreamConfig(max_prompt_frames=8, max_seq_frames=40,
+                        buffer_frames=4, decode_chunk_frames=1, delay=2)
+    src = (np.random.default_rng(6).standard_normal((B, n * 2048)) * 0.1
+           ).astype(np.float32)
+
+    # sequential reference: stream 1 contributes pure silence
+    ref_src = src.copy()
+    ref_src[1] = 0.0
+    ref_sess = _batched_session(cv, np.random.default_rng(0), B, scfg)
+    want = np.concatenate(
+        [ref_sess.process_chunk(ref_src[:, i * 2048:(i + 1) * 2048])
+         for i in range(n)], axis=-1)
+
+    eng = MultiStreamEngine(
+        _batched_session(cv, np.random.default_rng(0), B, scfg),
+        ring_seconds=4.0, num_fetchers=2, slack=0.6)
+    eng.start()
+    try:
+        import time as _t
+        for i in range(n):  # only stream 0 is fed
+            eng.push_input(0, src[0, i * 2048:(i + 1) * 2048])
+        deadline = _t.time() + 60
+        while eng.ticks_processed < n and _t.time() < deadline:
+            _t.sleep(0.01)
+        assert eng.ticks_processed >= n
+        got0 = eng.pull_output(0, n * 2048)
+    finally:
+        eng.stop()
+    np.testing.assert_allclose(got0, want[0],
+                               atol=float(np.abs(want).max()) * 1e-5, rtol=0)
+    assert eng.missed[0] == 0 and eng.missed[1] >= n

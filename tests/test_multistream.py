@@ -52,3 +52,48 @@ def test_two_streams_equal_two_sessions(rng):
 
     np.testing.assert_allclose(batched[0], singles[0], atol=2e-4)
     np.testing.assert_allclose(batched[1], singles[1], atol=2e-4)
+
+
+def test_fanout_equals_direct_batched(rng):
+    """fanout(B) of a prepared 1-stream session must continue exactly like a
+    directly-built B-stream session with the same reference and history —
+    the serving primitive bench.py's multistream phase is built on."""
+    cv = tinymodels.tiny_converter()
+    delay, Tr, B = 2, 4, 3
+    scfg = StreamConfig(max_prompt_frames=32, max_seq_frames=10_000,
+                        buffer_frames=4, decode_chunk_frames=1, delay=delay)
+    ref = (rng.standard_normal(Tr * SPF) * 0.1).astype(np.float32)
+    ref_tokens = cv.content_tokens(jnp.asarray(ref)[None])
+    ref_codes = cv.audio_codes(jnp.asarray(ref)[None])
+    style = jnp.asarray(rng.standard_normal((1, 192)), jnp.float32)
+    timbre = jnp.asarray(rng.standard_normal((1, 32, 128)), jnp.float32)
+
+    warm = (rng.standard_normal((delay + 3) * SPF) * 0.1).astype(np.float32)
+    src = (rng.standard_normal((B, 6 * SPF)) * 0.1).astype(np.float32)
+
+    mk = lambda b: StreamSession(
+        cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+        style=jnp.repeat(style, b, 0), timbre=jnp.repeat(timbre, b, 0),
+        ref_tokens=jnp.repeat(ref_tokens, b, 0),
+        ref_codes=jnp.repeat(ref_codes, b, 0), batch=b)
+
+    # path A: B=1 prep (prompt + warm chunks), then fanout
+    s1 = mk(1)
+    for t in range(delay + 3):
+        s1.process_chunk(warm[t * SPF:(t + 1) * SPF])
+    sf = s1.fanout(B)
+
+    # path B: direct B-stream session fed the same warm history per stream
+    sb = mk(B)
+    for t in range(delay + 3):
+        sb.process_chunk(np.repeat(warm[None, t * SPF:(t + 1) * SPF], B, 0))
+
+    got, want = [], []
+    for t in range(6):
+        chunk = src[:, t * SPF:(t + 1) * SPF]
+        got.append(np.asarray(sf.process_chunk(chunk)))
+        want.append(np.asarray(sb.process_chunk(chunk)))
+    got, want = np.concatenate(got, -1), np.concatenate(want, -1)
+    assert float(np.abs(want).max()) > 0
+    np.testing.assert_allclose(got, want,
+                               atol=float(np.abs(want).max()) * 1e-5, rtol=0)
