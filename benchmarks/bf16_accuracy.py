@@ -54,7 +54,8 @@ def pin_cpu():
 def run(n_chunks: int = 96, delay: int = 2, seed: int = 0, log=print):
     sys.path.insert(0, "/root/repo")
     from streamvoiceanon_tpu.config import PipelineConfig, SamplingConfig
-    from streamvoiceanon_tpu.models import vocoder
+    from streamvoiceanon_tpu.models import arvc, tokenizer, vocoder
+    from streamvoiceanon_tpu.ops import quantizers
     from streamvoiceanon_tpu.runtime.pipeline import VoiceConverter
     from streamvoiceanon_tpu.runtime.streaming import StreamSession
     from streamvoiceanon_tpu.utils import randparams as rp
@@ -175,6 +176,80 @@ def run(n_chunks: int = 96, delay: int = 2, seed: int = 0, log=print):
             "matching_prefix_chunks": prefix,
             "e2e_matching_prefix_rel_max": float(e2e.max()) / peak,
         }
+
+    # ---- (a) teacher-forced per-step LM agreement --------------------------
+    # Separates per-step precision error from chaotic AR divergence (VERDICT
+    # r4 weak #5): walk the f32-state LM chain over the f32 content-token
+    # stream; at every step ALSO run the SAME step from the f32 state cast to
+    # bf16 (exactly the serve-state program's input) and compare the greedy
+    # codec frame.  No error can accumulate — disagreements are pure one-step
+    # rounding flips.
+    f32_toks = np.asarray([int(x) for x in np.asarray(
+        tokenizer.encode(cvs["f32"].tokenizer_params, cfg.tokenizer,
+                         jnp.asarray(src_wav)[None])[0])])
+    greedy = SamplingConfig(greedy=True)
+    to_bf16 = jax.jit(lambda st: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, st))
+    step = jax.jit(lambda st, tok, key: arvc.decode_one(
+        cvs["f32"].arvc_params, cfg.arvc, st, tok, key, greedy))
+    st = arvc.prefill_prompt(
+        cvs["f32"].arvc_params, cfg.arvc, ref_tokens, ref_codes, style,
+        timbre, delay=delay, cache_dtype=jnp.float32)
+    if delay > 0:
+        st = arvc.prefill_src_condition4delay(
+            cvs["f32"].arvc_params, cfg.arvc, st,
+            jnp.asarray(f32_toks[:delay])[None], delay)
+    key = jax.random.PRNGKey(1)
+    agree = []
+    for t in range(delay, len(f32_toks)):
+        key, sub = jax.random.split(key)
+        tok = jnp.asarray([[f32_toks[t]]], jnp.int32)
+        st16 = to_bf16(st)
+        st, c32 = step(st, tok, sub)
+        _, c16 = step(st16, tok, sub)
+        agree.append(bool((np.asarray(c32) == np.asarray(c16)).all()))
+    out["teacher_forced"] = {
+        "steps": len(agree),
+        "per_step_codec_agreement": round(float(np.mean(agree)), 5),
+        "disagreeing_steps": int(len(agree) - sum(agree)),
+        "mode": ("f32-state chain over the f32 content stream; each step "
+                 "re-run from the f32 state cast to bf16 (the serve-state "
+                 "input) — agreement isolates one-step rounding error"),
+    }
+    log(f"  teacher-forced: {sum(agree)}/{len(agree)} steps agree")
+
+    # ---- (b) content-token flip margins ------------------------------------
+    # A content flip means a pre-sign LFQ projection bit crossed zero under
+    # bf16 rounding; its f32 magnitude IS the decision margin.  Stream ==
+    # offline (prefix consistency), so offline latents give the margins.
+    z32 = tokenizer.pre_quant_latents(
+        cvs["f32"].tokenizer_params, cfg.tokenizer, jnp.asarray(src_wav)[None])
+    z16 = tokenizer.pre_quant_latents(
+        cvs["bf16"].tokenizer_params, cfg.tokenizer, jnp.asarray(src_wav)[None])
+    lin = lambda p, x: quantizers._linear(p, x).astype(jnp.float32)
+    h32 = np.asarray(lin(cvs["f32"].tokenizer_params["lfq"]["project_in"], z32))[0]
+    h16 = np.asarray(lin(cvs["bf16"].tokenizer_params["lfq"]["project_in"],
+                         z16))[0]
+    bits_differ = (h32 > 0) != (h16 > 0)  # (T, bits)
+    flip_frames = np.where(bits_differ.any(axis=-1))[0]
+    typical = float(np.median(np.abs(h32)))
+    if len(flip_frames):
+        margins = np.asarray([
+            float(np.abs(h32[f][bits_differ[f]]).max()) for f in flip_frames])
+        flip_stats = {
+            "n_flipped_frames": int(len(flip_frames)),
+            "n_frames": int(h32.shape[0]),
+            "flip_margin_median": float(np.median(margins)),
+            "flip_margin_max": float(margins.max()),
+            "typical_abs_projection_median": typical,
+            "max_margin_over_typical": float(margins.max()) / typical,
+        }
+    else:
+        flip_stats = {"n_flipped_frames": 0, "n_frames": int(h32.shape[0]),
+                      "typical_abs_projection_median": typical}
+    out["content_flip_margins"] = flip_stats
+    log(f"  flip margins: {flip_stats}")
     return out
 
 

@@ -410,15 +410,20 @@ def init_stream_state(params: Dict, cfg: TokenizerConfig, batch: int = 1,
 
 
 def convert_enc_layout(state: TokenizerStreamState, params: Dict,
-                       cfg: TokenizerConfig) -> TokenizerStreamState:
+                       cfg: TokenizerConfig,
+                       target_batch: int = 0) -> TokenizerStreamState:
     """Migrate the ConvNeXt front-end streaming state between the dict
     layout and the fused kernel's PackedEncState, per cfg.use_pallas_encoder
-    (used by StreamSession.transfer)."""
+    (used by StreamSession.transfer).  `target_batch` overrides the state's
+    own batch in the packed-eligibility check: StreamSession.fanout passes
+    the FUTURE batch so a packed B=1 state is unpacked to the batch-generic
+    layout before tiling (the packed kernels are B=1-only)."""
     from streamvoiceanon_tpu.ops import pallas_convnext_enc as pce
 
     is_packed = isinstance(state.backbone, pce.PackedEncState)
-    batch = (state.backbone.stem.shape[0] if is_packed
-             else state.backbone["stem"].tail.shape[0])
+    batch = target_batch or (
+        state.backbone.stem.shape[0] if is_packed
+        else state.backbone["stem"].tail.shape[0])
     want_packed = (cfg.use_pallas_encoder and cfg.backbone.gin_channels == 0
                    and batch == 1)
     if want_packed and not is_packed:

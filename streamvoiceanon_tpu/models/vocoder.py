@@ -144,15 +144,17 @@ def init_stream_state(params: Dict, cfg: VocoderConfig, batch: int = 1,
     }
 
 
-def convert_head_layout(state: Dict, hcfg) -> Dict:
+def convert_head_layout(state: Dict, hcfg, target_batch: int = 0) -> Dict:
     """Migrate the HiFiGAN head streaming state between the dict-of-tails
     layout and the fused kernel's PackedHeadState, per hcfg.use_pallas_stream
-    (used by StreamSession.transfer)."""
+    (used by StreamSession.transfer).  `target_batch` overrides the state's
+    own batch in the packed-eligibility check (StreamSession.fanout: the
+    packed kernel is B=1-only, so a B>1 target unpacks first)."""
     from streamvoiceanon_tpu.ops import pallas_hifigan as ph
 
     head = state["head"]
-    batch = (head.pre.shape[0] if hasattr(head, "pre")
-             else head["conv_pre"].tail.shape[0])
+    batch = target_batch or (head.pre.shape[0] if hasattr(head, "pre")
+                             else head["conv_pre"].tail.shape[0])
     want_packed = hcfg.use_pallas_stream and batch == 1 and all(
         k == 2 * s for k, s in zip(hcfg.upsample_kernel_sizes, hcfg.upsample_rates)
     )

@@ -343,6 +343,7 @@ class StreamSession:
                 state_dtype=self.state_dtype, batch=self.batch,
                 tok_ring_len=self.tok_ring_len, tokens_seen=self.tokens_seen,
                 frames_decoded=self.frames_decoded,
+                refill_count=self.refill_count,
                 delay_prefilled=self.delay_prefilled,
                 _lm_pos_host=self._lm_pos_host, Tp=self.Tp,
                 _base_pos_host=self._base_pos_host,
@@ -366,6 +367,7 @@ class StreamSession:
         — the KV/ring/head layouts are migrated exactly as in `transfer`)."""
         sess = object.__new__(cls)
         sess.__dict__.update(snap["attrs"])
+        sess.__dict__.setdefault("refill_count", 0)  # pre-r5 snapshots
         for k, v in snap["arrays"].items():
             setattr(sess, k, v)
         sess.cv = converter  # rebound (with layout migration) by transfer
@@ -390,15 +392,37 @@ class StreamSession:
         assert self.incremental and self.batch == 1, "fanout needs a 1-stream incremental session"
         import copy as _copy
 
-        templates = {
-            "tok": jax.eval_shape(
-                lambda: tokenizer_stream.init_stream_state(
-                    self.cv.tokenizer_params, self.cfg.tokenizer, B,
-                    self.state_dtype)),
-            "voc": jax.eval_shape(
-                lambda: vocoder.init_stream_state(
+        # the packed Pallas layouts (ConvNeXt stem, HiFiGAN head) are
+        # B=1-only — normalize the live state to the batch-generic layout
+        # before tiling (same converters StreamSession.transfer uses)
+        fs0 = self.fstate._replace(
+            tok=tokenizer_stream.convert_enc_layout(
+                self.fstate.tok, self.cv.tokenizer_params, self.cfg.tokenizer,
+                target_batch=B),
+            voc=vocoder.convert_head_layout(
+                self.fstate.voc, self.cfg.vocoder.head, target_batch=B),
+        )
+
+        def tok_template():
+            st = tokenizer_stream.init_stream_state(
+                self.cv.tokenizer_params, self.cfg.tokenizer, B,
+                self.state_dtype)
+            st = tokenizer_stream.convert_enc_layout(
+                st, self.cv.tokenizer_params, self.cfg.tokenizer,
+                target_batch=B)
+            return st._replace(ring=tokenizer_stream.convert_ring_layout(
+                st.ring, self.cfg.tokenizer.transformer))
+
+        def voc_template():
+            return vocoder.convert_head_layout(
+                vocoder.init_stream_state(
                     self.cv.vocoder_params, self.cfg.vocoder, B,
-                    self.state_dtype)),
+                    self.state_dtype),
+                self.cfg.vocoder.head, target_batch=B)
+
+        templates = {
+            "tok": jax.eval_shape(tok_template),
+            "voc": jax.eval_shape(voc_template),
             "lm": jax.eval_shape(
                 lambda rt, rc, s, t: arvc.prefill_prompt(
                     self.cv.arvc_params, self.cfg.arvc, rt, rc, s, t,
@@ -442,7 +466,7 @@ class StreamSession:
             ),
             None if base is None else tile_like(base, templates["lm"]),
         ))
-        new.fstate, new._base_lm = tile_all(self.fstate, self._base_lm)
+        new.fstate, new._base_lm = tile_all(fs0, self._base_lm)
         return new
 
     def _lm_state(self):
