@@ -36,13 +36,28 @@ def test_bf16_serving_within_baseline_bar():
     for name in ("bf16", "serve"):
         v = out["variants"][name]
         # greedy token agreement: bf16 rounding may flip rare borderline
-        # content tokens (random weights put LFQ projections near zero with
-        # no decision margin — measured flip rate 1.6% over 64 chunks).  A
-        # single flip makes the greedy AR trajectory diverge from there on
-        # (chaotic continuation, not accumulating error), so the gated
-        # quantities are the flip rate itself, the agreeing prefix, and the
-        # waveform error — NOT the post-flip codec match rate.
-        assert v["content_token_match_rate"] >= 0.9, (name, out)
+        # content tokens (measured flip rate 1.6% over 64 chunks, and the
+        # flipped frames' f32 decision margins are ~0.3% of the typical LFQ
+        # projection magnitude — `content_flip_margins` below).  A single
+        # flip makes the greedy AR trajectory diverge from there on (chaotic
+        # continuation, not accumulating error — the teacher-forced gate
+        # below is the direct evidence), so the gated quantities are the
+        # flip rate, the flip margins, the per-step agreement, the agreeing
+        # prefix, and the waveform error — NOT the post-flip codec match.
+        assert v["content_token_match_rate"] >= 0.93, (name, out)
         assert v["matching_prefix_chunks"] >= 4, (name, out)
         # over the agreeing prefix, the waveform sits inside the bar
         assert v["e2e_matching_prefix_rel_max"] <= 1e-2, (name, out)
+
+    # teacher-forced per-step agreement: with the f32 trajectory forced into
+    # every bf16-state step, per-step codec frames must agree (no
+    # accumulating precision error — divergence is chaotic-only).
+    tf = out["teacher_forced"]
+    assert tf["per_step_codec_agreement"] >= 0.99, out
+
+    # any flipped content token must have had (near-)zero f32 decision
+    # margin: the flip is a coin-toss on a borderline bit, not a systematic
+    # precision failure (measured max margin 0.3% of typical at 64 chunks)
+    fm = out["content_flip_margins"]
+    if fm["n_flipped_frames"]:
+        assert fm["max_margin_over_typical"] <= 0.05, out
