@@ -1,6 +1,11 @@
 """Concurrent-stream serving benchmark: N live streams in one batched
 session (BASELINE config 5 single-chip slice).  Reports streams sustainable
-in real time and audio-seconds/s."""
+in real time and audio-seconds/s.
+
+Two modes: the default grouped-fetch loop (one device-concat fetch per
+--group chunks), and --engine, which drives the pipelined MultiStreamEngine
+(per-stream SPSC rings, dispatch thread + ordered adaptive batched fetcher
+pool — the architecture bench.py's `multistream` phase measures)."""
 
 import argparse
 import sys
@@ -22,6 +27,9 @@ def main():
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--chunks", type=int, default=64)
+    ap.add_argument("--engine", action="store_true",
+                    help="drive the pipelined MultiStreamEngine instead of "
+                         "the grouped-fetch loop")
     ap.add_argument("--tpu-opt", action="store_true",
                     help="use config.tpu_optimized flat state layouts: the "
                          "batched tokenizer runs the circular absolute-rope "
@@ -59,6 +67,38 @@ def main():
     for i in range(cv.cfg.stream.delay + 2):
         sess.process_chunk(src[:, i * spf : (i + 1) * spf])
     print(f"warm-up: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.engine:
+        from streamvoiceanon_tpu.runtime.realtime import MultiStreamEngine
+
+        eng = MultiStreamEngine(sess, ring_seconds=8.0)
+        eng.warm_up()
+        eng.start()
+        n = args.chunks
+        t0 = time.perf_counter()
+        try:
+            for i in range(n):
+                j = (i + 5) % 78
+                for s in range(B):
+                    eng.push_input(s, src[s, j * spf : (j + 1) * spf])
+            deadline = time.perf_counter() + max(30.0, n * 0.2)
+            while (eng.ticks_processed < n
+                   and time.perf_counter() < deadline):
+                time.sleep(0.002)
+        finally:
+            wall = time.perf_counter() - t0
+            eng.stop()
+        done = eng.ticks_processed
+        period = wall / max(done, 1)
+        audio_per_s = B * FRAME_SECONDS / period
+        print(
+            f"streams={B} (engine): {done}/{n} ticks, chunk "
+            f"period={period*1e3:.2f}ms -> "
+            f"{'REALTIME OK' if period < FRAME_SECONDS else 'NOT realtime'}, "
+            f"{audio_per_s:.1f} audio-s/s, "
+            f"max_fetch_batch={eng.max_fetch_batch}, missed={sum(eng.missed)}"
+        )
+        return
 
     cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=-1))
     group = []
