@@ -867,6 +867,75 @@ def main():
                                 if i < len(push_times)]
                 finally:
                     eng.stop()
+                # device capacity at batch B: K ticks chained in ONE lax.scan
+                # dispatch (inputs pre-uploaded, null dispatch+fetch
+                # subtracted) — the audio-s/s/chip a local-PJRT deployment of
+                # this batch size sustains, net of the relay transport that
+                # dominates the engine numbers above
+                dev_cap = None
+                if budget_left() > 150:
+                    try:
+                        K_MS = 48
+
+                        def scan_ticks(tok_p, arvc_p, voc_p, fstate, chunks,
+                                       key):
+                            def body(carry, chunk):
+                                fs2, kk = carry
+                                ts, rg, toks = _encode_inc(
+                                    tok_p, cfg_tpu, fs2.tok, fs2.tok_ring,
+                                    chunk, sess_b._mel_consts)
+                                kk, sub = jax.random.split(kk)
+                                lm, cr, vc, wav, _k = _decode_vocode_inc(
+                                    arvc_p, voc_p, cfg_tpu, fs2.lm,
+                                    fs2.code_ring, fs2.voc, toks,
+                                    sess_b.sampling, sub)
+                                fs2 = fs2._replace(tok=ts, tok_ring=rg, lm=lm,
+                                                   code_ring=cr, voc=vc)
+                                return (fs2, kk), wav[:, :8]
+
+                            (_, _), wavs = jax.lax.scan(
+                                body, (fstate, key), chunks)
+                            return wavs
+
+                        ms_scan = scoped_vmem_jit(scan_ticks)
+                        chunks_ms = jax.device_put(jnp.asarray(
+                            rng.standard_normal((K_MS, B, spf)) * 0.1,
+                            jnp.float32), tpu_dev)
+                        argsb = (cv_tpu.tokenizer_params, cv_tpu.arvc_params,
+                                 cv_tpu.vocoder_params, sess_b.fstate,
+                                 chunks_ms, jax.random.PRNGKey(13))
+                        t0 = time.time()
+                        np.asarray(ms_scan(*argsb))
+                        log(f"multistream B={B} device scan: compile+first "
+                            f"{time.time()-t0:.1f}s")
+                        nullb = jax.jit(lambda xs: jnp.sum(xs) * 1.0)
+                        np.asarray(nullb(chunks_ms))
+                        fl, nl = [], []
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            np.asarray(ms_scan(*argsb))
+                            fl.append((time.perf_counter() - t0) / K_MS)
+                            t0 = time.perf_counter()
+                            np.asarray(nullb(chunks_ms))
+                            nl.append((time.perf_counter() - t0) / K_MS)
+                        tick_s = max(float(np.median(np.asarray(fl))
+                                           - np.median(np.asarray(nl))),
+                                     1e-6)
+                        dev_cap = {
+                            "tick_compute_ms": round(tick_s * 1e3, 3),
+                            "audio_s_per_s": round(
+                                B * FRAME_SECONDS / tick_s, 1),
+                            "n": 3,
+                            "method": (f"lax.scan x{K_MS} at batch {B}, one "
+                                       f"dispatch; null subtracted"),
+                        }
+                        log(f"multistream B={B} device capacity: "
+                            f"{tick_s*1e3:.2f} ms/tick = "
+                            f"{B*FRAME_SECONDS/tick_s:.0f} audio-s/s")
+                        del chunks_ms
+                    except Exception as e:  # noqa: BLE001
+                        log(f"B={B} device scan failed "
+                            f"({type(e).__name__}: {str(e)[:160]})")
                 if len(lats) >= N_PACED // 2:
                     p50 = float(np.percentile(lats, 50))
                     p99 = float(np.percentile(lats, 99))
@@ -876,6 +945,7 @@ def main():
                         "streams": B,
                         "flat_period_ms": round(period * 1e3, 2),
                         "audio_s_per_s": round(cap_audio, 1),
+                        "device_capacity": dev_cap,
                         "paced_p50_latency_ms": round(p50 * 1e3, 1),
                         "paced_p99_latency_ms": round(p99 * 1e3, 1),
                         "paced_xruns": xr,
@@ -891,6 +961,27 @@ def main():
                     log(f"multistream B={B} paced: p50={p50*1e3:.1f}ms "
                         f"p99={p99*1e3:.1f}ms xruns={xr}/{N_PACED} "
                         f"refills={ms_all[B]['refills_crossed_paced']}")
+                elif dev_cap is not None or done == N_FLAT:
+                    # paced run incomplete (degraded relay) — keep the
+                    # capacity evidence with paced fields marked absent
+                    ms_all[B] = {
+                        "streams": B,
+                        "flat_period_ms": round(period * 1e3, 2),
+                        "audio_s_per_s": round(cap_audio, 1),
+                        "device_capacity": dev_cap,
+                        "paced_p50_latency_ms": None,
+                        "paced_p99_latency_ms": None,
+                        "paced_xruns": None,
+                        "paced_chunks": 0,
+                        "p50_within_frame_budget": False,
+                        "p99_within_delivery_budget": False,
+                        "refills_crossed_paced": None,
+                        "missed_chunks": int(sum(eng.missed)),
+                        "max_fetch_batch": int(eng.max_fetch_batch),
+                    }
+                    log(f"multistream B={B}: paced incomplete "
+                        f"(flat {done}/{N_FLAT}, paced {len(lats)}) — "
+                        f"capacity-only entry")
                 else:
                     log(f"multistream B={B}: incomplete "
                         f"(flat {done}/{N_FLAT}, paced {len(lats)}) — skipped")
@@ -904,8 +995,17 @@ def main():
             fit = [v for v in ms_all.values() if v["p50_within_frame_budget"]]
             best = max(fit or list(ms_all.values()),
                        key=lambda v: v["audio_s_per_s"])
+            caps = [v for v in ms_all.values()
+                    if v.get("device_capacity")]
+            best_cap = (max(caps, key=lambda v:
+                            v["device_capacity"]["audio_s_per_s"])
+                        if caps else None)
             add_section("multistream", {
                 "best": best,
+                "best_device_capacity": (
+                    None if best_cap is None else {
+                        "streams": best_cap["streams"],
+                        **best_cap["device_capacity"]}),
                 "per_streams": {str(k): v for k, v in sorted(ms_all.items())},
                 "latency_budget_ms": round(DELIVERY_BUDGET_S * 1e3, 1),
                 "mode": ("B live streams through ONE batched session "
@@ -1143,6 +1243,96 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"device-floor phase failed ({type(e).__name__}: {e}) — "
                 f"keeping M-mode result")
+
+    # ---- phase 7: on-chip training step (VERDICT r4 next #4) ----------------
+    # Full-geometry dual-AR train step (forward+backward+MuonAdamW) over a
+    # synthetic frozen-feature batch — the reference's per-batch workload
+    # (trainers/arvc_trainer.py:335-410) minus the frozen feature extractors.
+    # Single chip here; the sharded mesh path is exercised by
+    # __graft_entry__.dryrun_multichip.
+    if budget_left() > 300:
+        try:
+            from streamvoiceanon_tpu.train import muon as muon_mod
+            from streamvoiceanon_tpu.train.step import TrainState, train_step
+            from streamvoiceanon_tpu.utils.roofline import device_peaks
+
+            B_TR, T_TR, N_STEPS = 8, 256, 3
+            d = cfg.arvc.decoder
+            trng = np.random.default_rng(0)
+            batch = jax.device_put({
+                "content": jnp.asarray(
+                    trng.integers(0, d.vocab_size, (B_TR, T_TR)), jnp.int32),
+                "base_target": jnp.asarray(
+                    trng.integers(0, d.vocab_size, (B_TR, T_TR)), jnp.int32),
+                "target": jnp.asarray(
+                    trng.integers(0, d.codebook_size,
+                                  (B_TR, d.num_codebooks, T_TR)), jnp.int32),
+                "x_lens": jnp.full((B_TR,), T_TR, jnp.int32),
+                "style": jnp.asarray(
+                    trng.standard_normal((B_TR, 192)), jnp.bfloat16),
+                "timbre": jnp.asarray(
+                    trng.standard_normal((B_TR, 32, 128)), jnp.bfloat16),
+            }, tpu_dev)
+            # fresh param copy: train_step donates its state — the serving
+            # params must not be clobbered
+            tr_params = jax.device_put(arvc_np, tpu_dev)
+            opt = muon_mod.muon_adamw(lr=1e-4)
+            st_tr = TrainState(tr_params, opt.init(tr_params),
+                               jnp.zeros((), jnp.int32))
+            t0 = time.time()
+            st_tr, aux = train_step(st_tr, batch, cfg.arvc, opt, 2)
+            jax.block_until_ready(aux["loss"])
+            compile_tr = time.time() - t0
+            log(f"train-step compile+first: {compile_tr:.1f}s")
+            times = []
+            for _ in range(N_STEPS):
+                if budget_left() < 60:
+                    break
+                t0 = time.perf_counter()
+                st_tr, aux = train_step(st_tr, batch, cfg.arvc, opt, 2)
+                jax.block_until_ready(aux["loss"])
+                times.append(time.perf_counter() - t0)
+            if times:
+                step_s = float(np.median(times))
+                n_p = int(sum(int(np.prod(x.shape))
+                              for x in jax.tree.leaves(tr_params)))
+                slow_p = sum(int(np.prod(x.shape))
+                             for k, v in tr_params["model"].items()
+                             if not k.startswith("fast_")
+                             for x in jax.tree.leaves(v))
+                fast_p = sum(int(np.prod(x.shape))
+                             for k, v in tr_params["model"].items()
+                             if k.startswith("fast_")
+                             for x in jax.tree.leaves(v))
+                flops = 6.0 * (slow_p * B_TR * (2 * T_TR + 37)
+                               + fast_p * B_TR * T_TR
+                               * (d.num_codebooks + 1))
+                peaks = device_peaks(tpu_dev)
+                mfu = (flops / step_s / peaks["bf16_flops"] * 100.0
+                       if peaks else None)
+                add_section("training", {
+                    "batch": B_TR,
+                    "frames": T_TR,
+                    "step_ms": round(step_s * 1e3, 1),
+                    "step_ms_spread": [round(min(times) * 1e3, 1),
+                                       round(max(times) * 1e3, 1)],
+                    "n_steps": len(times),
+                    "frames_per_s": round(B_TR * T_TR / step_s, 0),
+                    "audio_s_per_s": round(
+                        B_TR * T_TR * FRAME_SECONDS / step_s, 1),
+                    "mfu_pct": None if mfu is None else round(mfu, 1),
+                    "optimizer": "muon_adamw",
+                    "param_dtype": "bfloat16",
+                    "n_params": n_p,
+                    "compile_s": round(compile_tr, 1),
+                    "loss": float(aux["loss"]),
+                })
+                log(f"train step: {step_s*1e3:.1f} ms (B={B_TR}, T={T_TR}) "
+                    f"= {B_TR*T_TR/step_s:.0f} frames/s, MFU "
+                    f"{mfu and round(mfu,1)}%")
+            del st_tr, batch, tr_params
+        except Exception as e:  # noqa: BLE001
+            log(f"training phase failed ({type(e).__name__}: {str(e)[:200]})")
 
     _emit(0)
 
