@@ -772,11 +772,25 @@ def main():
                 log(f"deadline near — stopping multistream sweep at {list(ms_all)}")
                 break
             try:
+                import copy as _copy
+
                 t0 = time.time()
-                sess_b = sess.fanout(B)
-                sess_b.scfg = _rep(sess_b.scfg, max_seq_frames=128)
+                # serving geometry: the msf=128 operating point never moves
+                # the LM position past ~260 rows, while the reference-geometry
+                # cache (2048 rows) is read IN FULL every frame by EVERY
+                # stream — right-size it (StreamSession.with_cache_rows) so
+                # per-stream state traffic drops 2048/384 = 5.3x; weights
+                # amortize across the batch, state does not.
+                CACHE_ROWS = 384
+                s1 = _copy.copy(sess)
+                s1.scfg = _rep(sess.scfg, max_seq_frames=128)
+                if s1._lm_pos_host + 2 * 32 + 8 > CACHE_ROWS:
+                    s1._refill_incremental()  # bring the position back down
+                s1 = s1.with_cache_rows(CACHE_ROWS)
+                sess_b = s1.fanout(B)
+                cfg_b, cv_b = sess_b.cfg, sess_b.cv
                 jax.block_until_ready(sess_b.fstate.lm.decode.k_cache)
-                log(f"multistream B={B}: fanout {time.time()-t0:.1f}s")
+                log(f"multistream B={B}: fanout+cache-rows {time.time()-t0:.1f}s")
                 t0 = time.time()
                 fsb = sess_b.fstate
                 chunk_b = jax.device_put(
@@ -784,10 +798,10 @@ def main():
                 toks_b = jax.device_put(jnp.zeros((B, 1), jnp.int32), tpu_dev)
                 jobs = [
                     lambda: _encode_inc.lower(
-                        cv_tpu.tokenizer_params, cfg_tpu, fsb.tok,
+                        cv_b.tokenizer_params, cfg_b, fsb.tok,
                         fsb.tok_ring, chunk_b, sess_b._mel_consts).compile(),
                     lambda: _decode_vocode_inc.lower(
-                        cv_tpu.arvc_params, cv_tpu.vocoder_params, cfg_tpu,
+                        cv_b.arvc_params, cv_b.vocoder_params, cfg_b,
                         fsb.lm, fsb.code_ring, fsb.voc, toks_b,
                         sess_b.sampling, sess_b.key).compile(),
                 ]
@@ -882,11 +896,11 @@ def main():
                             def body(carry, chunk):
                                 fs2, kk = carry
                                 ts, rg, toks = _encode_inc(
-                                    tok_p, cfg_tpu, fs2.tok, fs2.tok_ring,
+                                    tok_p, cfg_b, fs2.tok, fs2.tok_ring,
                                     chunk, sess_b._mel_consts)
                                 kk, sub = jax.random.split(kk)
                                 lm, cr, vc, wav, _k = _decode_vocode_inc(
-                                    arvc_p, voc_p, cfg_tpu, fs2.lm,
+                                    arvc_p, voc_p, cfg_b, fs2.lm,
                                     fs2.code_ring, fs2.voc, toks,
                                     sess_b.sampling, sub)
                                 fs2 = fs2._replace(tok=ts, tok_ring=rg, lm=lm,
@@ -901,8 +915,8 @@ def main():
                         chunks_ms = jax.device_put(jnp.asarray(
                             rng.standard_normal((K_MS, B, spf)) * 0.1,
                             jnp.float32), tpu_dev)
-                        argsb = (cv_tpu.tokenizer_params, cv_tpu.arvc_params,
-                                 cv_tpu.vocoder_params, sess_b.fstate,
+                        argsb = (cv_b.tokenizer_params, cv_b.arvc_params,
+                                 cv_b.vocoder_params, sess_b.fstate,
                                  chunks_ms, jax.random.PRNGKey(13))
                         t0 = time.time()
                         np.asarray(ms_scan(*argsb))
@@ -989,6 +1003,12 @@ def main():
             except Exception as e:  # noqa: BLE001
                 log(f"multistream B={B} failed ({type(e).__name__}: "
                     f"{str(e)[:200]})")
+                # drop the failed batch's device state before the next B —
+                # a lingering B=32 cache after RESOURCE_EXHAUSTED poisons
+                # every later allocation (r5c postmortem)
+                sess_b = eng = s1 = None  # noqa: F841
+                import gc
+                gc.collect()
         if ms_all:
             # headline = best capacity among B whose paced p50 fits the
             # 46.44 ms frame budget (every stream live)
@@ -1015,7 +1035,10 @@ def main():
                          "(state tiled on-device), distinct per-stream "
                          "source audio; per-stream references cost identical "
                          "compute (tests/test_multistream.py); "
-                         "max_seq_frames=128 + background refill ON"),
+                         "max_seq_frames=128 + background refill ON; LM KV "
+                         "cache right-sized to 384 rows for this serving "
+                         "point (with_cache_rows — per-stream state traffic "
+                         "/5.3, exact continuation tested)"),
             })
             with _best_lock:
                 if _best is not None:

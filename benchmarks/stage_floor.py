@@ -350,12 +350,25 @@ def main():
         init = (ring.k_ring[:, 0], ring.v_ring[:, 0], ring.count)
         return jax.lax.scan(body, init, xs)
 
+    def scan_mel_only(mel_st, xs):
+        # the 4-hop matmul-DFT mel front alone — front minus this is the
+        # ConvNeXt backbone + downsample convs (r5: encode sub-split one
+        # level deeper, VERDICT r4 next #8)
+        def body(m, chunk):
+            m, mel = ts.mel_stream(m, chunk, cfg.tokenizer.mel,
+                                   sess._mel_consts)
+            return m, jnp.sum(mel)
+        return jax.lax.scan(body, mel_st, xs)
+
     zdim = cfg.tokenizer.transformer.dim
     z_feed = jax.device_put(jnp.asarray(
         rng.standard_normal((K, 1, 1, zdim)), fs.tok.ring.k_ring.dtype), tpu)
 
     jobs = {
         "null": (jax.jit(lambda xs: jnp.sum(xs) * 1.0), (chunks,)),
+        "enc_mel": (scalarize(scan_mel_only,
+                              lambda o: o[1][-1].astype(jnp.float32)),
+                    (fs.tok.mel, chunks)),
         "enc_front": (scalarize(scan_enc_front,
                                 lambda o: o[1][-1].astype(jnp.float32)),
                       (cv.tokenizer_params, fs.tok.mel, fs.tok.backbone,

@@ -135,9 +135,9 @@ class RealtimeEngine:
         self.out_ring = RingBuffer(cap)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._pool: Optional[_FetchPool] = None
         self.num_fetchers = max(1, int(num_fetchers))
         self.chunks_processed = 0
-        self.max_fetch_batch = 0  # mirrored from the pool on stop/read
         self.last_latency_ms = 0.0
         # per-chunk (t_read, t_delivered) perf_counter pairs, appended in
         # sequence order — benchmark instrumentation (bench.py pipelined mode)
@@ -180,6 +180,11 @@ class RealtimeEngine:
             jax.block_until_ready(jnp.concatenate([z] * b))
             b <<= 1
 
+    @property
+    def max_fetch_batch(self) -> int:
+        """Largest adaptive fetch batch seen (live — readable mid-run)."""
+        return self._pool.max_fetch_batch if self._pool else 0
+
     def _deliver(self, seq, t0, t1, arr):
         self.out_ring.write(arr)
         self.last_latency_ms = (t1 - t0) * 1e3
@@ -191,6 +196,7 @@ class RealtimeEngine:
         happens on the fetcher pool and overlaps the next dispatches)."""
         pool = _FetchPool(self._materialize, self._deliver,
                           self.num_fetchers, self.MAX_BATCH, self._stop)
+        self._pool = pool
         use_async = getattr(self.session, "incremental", False)
         seq = 0
         try:
@@ -211,8 +217,6 @@ class RealtimeEngine:
                     self.chunks_processed += 1
         finally:
             pool.close()
-            self.max_fetch_batch = max(self.max_fetch_batch,
-                                       pool.max_fetch_batch)
 
     def start(self) -> None:
         self._stop.clear()
@@ -265,9 +269,9 @@ class MultiStreamEngine:
         self.out_rings = [RingBuffer(cap) for _ in range(self.B)]
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._pool: Optional[_FetchPool] = None
         self.num_fetchers = max(1, int(num_fetchers))
         self.ticks_processed = 0
-        self.max_fetch_batch = 0
         self.missed = [0] * self.B  # silence-padded (late) chunks per stream
         self.last_latency_ms = 0.0
         self.latency_log: list = []  # (t_assembled, t_delivered) per tick
@@ -321,9 +325,15 @@ class MultiStreamEngine:
                 self.missed[i] += 1
         return block
 
+    @property
+    def max_fetch_batch(self) -> int:
+        """Largest adaptive fetch batch seen (live — readable mid-run)."""
+        return self._pool.max_fetch_batch if self._pool else 0
+
     def _loop(self):
         pool = _FetchPool(self._materialize, self._deliver,
                           self.num_fetchers, self.MAX_BATCH, self._stop)
+        self._pool = pool
         seq = 0
         deadline = time.perf_counter() + self.slack * self.period
         try:
@@ -341,8 +351,6 @@ class MultiStreamEngine:
                     time.sleep(0.001)
         finally:
             pool.close()
-            self.max_fetch_batch = max(self.max_fetch_batch,
-                                       pool.max_fetch_batch)
 
     def start(self) -> None:
         self._stop.clear()

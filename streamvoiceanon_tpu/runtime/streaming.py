@@ -373,6 +373,60 @@ class StreamSession:
         sess.cv = converter  # rebound (with layout migration) by transfer
         return sess.transfer(converter, device)
 
+    def with_cache_rows(self, rows: int) -> "StreamSession":
+        """Right-size the LM KV cache to the session's serving geometry.
+
+        The decode step reads the FULL cache every frame (fixed-shape
+        masked attention), so cache length is state traffic: at the
+        default reference geometry (max_seq_len 2048) the 12-layer bf16
+        cache read is 76 MB/frame/stream, while a max_seq_frames=128
+        serving point never moves the position past ~260 rows.  Slicing
+        the cache to `rows` divides the dominant lm_slow HBM term by
+        2048/rows for every stream — the lever that makes batched
+        multi-stream serving scale (each stream owns its cache; weights
+        amortize across the batch, state does not).
+
+        Position semantics are unchanged: cache slot index == absolute
+        position, and every reachable position (prompt, refill window,
+        delay prefill) must fit — asserted below.  Returns a copy bound
+        to a converter whose decoder.max_seq_len is `rows` (programs are
+        traced per static config, so the per-chunk programs recompile at
+        the new shape once)."""
+        import copy as _copy
+        from dataclasses import replace as _drep
+
+        k = self.scfg.decode_chunk_frames
+        need = max(
+            2 * self.scfg.max_seq_frames + 2 * k + 2 * self.delay + 4,
+            self._lm_pos_host + 2 * k + 2,
+            self._base_pos_host + 2 * self.scfg.buffer_frames
+            + 2 * self.delay + 2,
+            33 + 2 * self.Tp + 2 * self.delay + 2,  # prompt prefill rows
+        )
+        assert rows >= need, f"cache rows {rows} < reachable max {need}"
+        new_cfg = _drep(self.cfg, arvc=_drep(
+            self.cfg.arvc, decoder=_drep(
+                self.cfg.arvc.decoder, max_seq_len=rows)))
+
+        def cut(st):
+            # both layouts — per-head (L,B,H,S,D) and flat (L,B,S,H*D) —
+            # carry S at axis -2
+            return st._replace(decode=st.decode._replace(
+                k_cache=st.decode.k_cache[..., :rows, :],
+                v_cache=st.decode.v_cache[..., :rows, :]))
+
+        new = _copy.copy(self)
+        new.cfg = new_cfg
+        new.cv = _drep(self.cv, cfg=new_cfg)
+        new._shadow, new._shadow_appended = None, 0
+        if self.incremental:
+            new.fstate = self.fstate._replace(lm=cut(self.fstate.lm))
+        else:
+            new.state = cut(self.state)
+        if self._base_lm is not None:
+            new._base_lm = cut(self._base_lm)
+        return new
+
     def fanout(self, B: int) -> "StreamSession":
         """Clone this prepared single-stream session into a B-stream batched
         session by tiling every batch-dim state leaf on-device.

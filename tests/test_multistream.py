@@ -97,3 +97,44 @@ def test_fanout_equals_direct_batched(rng):
     assert float(np.abs(want).max()) > 0
     np.testing.assert_allclose(got, want,
                                atol=float(np.abs(want).max()) * 1e-5, rtol=0)
+
+
+def test_with_cache_rows_exact_continuation(rng):
+    """Right-sizing the LM KV cache (with_cache_rows) must not change the
+    stream: rows beyond every reachable position are fully masked, so the
+    sliced-cache session continues exactly like the full-cache one —
+    including across refill boundaries."""
+    cv = tinymodels.tiny_converter()
+    delay, Tr = 2, 4
+    scfg = StreamConfig(max_prompt_frames=32, max_seq_frames=24,
+                        buffer_frames=4, decode_chunk_frames=1, delay=delay)
+    ref = (rng.standard_normal(Tr * SPF) * 0.1).astype(np.float32)
+    sess = StreamSession(
+        cv, scfg, key=jax.random.PRNGKey(1), sampling=GREEDY,
+        style=jnp.asarray(rng.standard_normal((1, 192)), jnp.float32),
+        timbre=jnp.asarray(rng.standard_normal((1, 32, 128)), jnp.float32),
+        ref_tokens=cv.content_tokens(jnp.asarray(ref)[None]),
+        ref_codes=cv.audio_codes(jnp.asarray(ref)[None]))
+
+    warm = (rng.standard_normal(6 * SPF) * 0.1).astype(np.float32)
+    for t in range(6):
+        sess.process_chunk(warm[t * SPF:(t + 1) * SPF])
+
+    small = sess.with_cache_rows(96)
+    assert small.cfg.arvc.decoder.max_seq_len == 96
+    assert small.fstate.lm.decode.k_cache.shape[-2] == 96
+
+    n = 30  # crosses several refill boundaries at max_seq_frames=24
+    src = (rng.standard_normal(n * SPF) * 0.1).astype(np.float32)
+    r0 = sess.refill_count
+    got, want = [], []
+    for t in range(n):
+        chunk = src[t * SPF:(t + 1) * SPF]
+        want.append(np.asarray(sess.process_chunk(chunk)))
+        got.append(np.asarray(small.process_chunk(chunk)))
+    got, want = np.concatenate(got), np.concatenate(want)
+    assert sess.refill_count > r0, "run must cross refill boundaries"
+    assert small.refill_count == sess.refill_count
+    assert float(np.abs(want).max()) > 0
+    np.testing.assert_allclose(got, want,
+                               atol=float(np.abs(want).max()) * 1e-5, rtol=0)
