@@ -74,12 +74,20 @@ def generate(
     sampling: SamplingConfig = SamplingConfig(),
     delay: int = 2,
     cache_dtype=jnp.float32,
+    auto_cache_rows: bool = False,
 ) -> jax.Array:
     """Full-utterance conversion: returns codec codes (B, nq, Ts).
 
     Equivalent to ARVCWrapper.generate -> DualARWrapper.generate
     (dual_ar_stream.py:699-762): prefill the interleaved prompt + first
-    source condition, then a scanned 2-token step per frame."""
+    source condition, then a scanned 2-token step per frame.
+
+    auto_cache_rows: right-size the KV cache to this utterance (the decode
+    step reads the FULL fixed-shape cache every frame, so cache length is
+    per-utterance state traffic AND the per-batch-row HBM footprint; the
+    reference-geometry 2048 rows are ~7x oversize for a 64-frame utterance
+    — same lever as StreamSession.with_cache_rows).  Shapes are static
+    under jit, so the resize is a trace-time reconfiguration."""
     dcfg = cfg.decoder
     B, Ts = src_content.shape
     ref_cond = embed_content(params, ref_content)
@@ -96,9 +104,15 @@ def generate(
     remaining = jnp.concatenate([src_cond[:, delay:], w4e], axis=1)  # (B, Ts, D)
 
     # prefill + first frame
-    state = dual_ar.init_state(dcfg, batch=B, cache_dtype=cache_dtype)
     emb_seq = jnp.concatenate([emb_seq, remaining[:, :1]], axis=1)
     L = emb_seq.shape[1]
+    if auto_cache_rows:
+        need = L + 2 * (Ts - 1) + 2  # prefill rows + 2 rows/frame + slack
+        rows = min(dcfg.max_seq_len, -(-need // 64) * 64)
+        from dataclasses import replace as _drep
+
+        dcfg = _drep(dcfg, max_seq_len=rows)
+    state = dual_ar.init_state(dcfg, batch=B, cache_dtype=cache_dtype)
     key, k0 = jax.random.split(key)
     state, last_hidden = dual_ar.prefill(
         params["model"], dcfg, state, emb_seq, jnp.int32(L)

@@ -56,6 +56,10 @@ def _convert_batch(
     codes = arvc.generate(
         arvc_params, cfg.arvc, ref_tokens, ref_codes, src_tokens,
         style, timbre, key, sampling, delay,
+        # right-size the KV cache to the bucket: cache reads dominate the
+        # decode scan's HBM traffic and the full 2048-row reference
+        # geometry OOMs at batch 128 (2x12-layer f32 caches alone)
+        auto_cache_rows=True,
     )
     return vocoder.decode(voc_params, cfg.vocoder, codes)
 

@@ -43,3 +43,34 @@ def test_batched_convert_matches_single(rng):
         sampling=GREEDY, delay=2,
     )
     np.testing.assert_allclose(wav[0], wav_single[0], atol=2e-4)
+
+
+def test_generate_auto_cache_rows_token_exact(rng):
+    """Right-sizing the offline KV cache to the utterance (auto_cache_rows,
+    the BatchServer default) must not change the sampled codes vs the full
+    reference-geometry cache: cache slot == absolute position either way,
+    and rows beyond the final position are never attended."""
+    import jax
+
+    from streamvoiceanon_tpu.models import arvc
+
+    cv = tinymodels.tiny_converter()
+    B, Ts, Tr = 2, 6, 4
+    src_wav = (rng.standard_normal((B, Ts * 2048)) * 0.1).astype(np.float32)
+    ref_wav = (rng.standard_normal((1, Tr * 2048)) * 0.1).astype(np.float32)
+    src_tokens = cv.content_tokens(jnp.asarray(src_wav))
+    ref_tokens = jnp.asarray(
+        np.asarray(cv.content_tokens(jnp.asarray(ref_wav))).repeat(B, 0))
+    ref_codes = jnp.asarray(
+        np.asarray(cv.audio_codes(jnp.asarray(ref_wav))).repeat(B, 0))
+    style = jnp.asarray(rng.standard_normal((B, 192)).astype(np.float32))
+    timbre = jnp.asarray(rng.standard_normal((B, 32, 128)).astype(np.float32))
+
+    kw = dict(sampling=SamplingConfig(), delay=2)
+    key = jax.random.PRNGKey(7)
+    full = arvc.generate(cv.arvc_params, cv.cfg.arvc, ref_tokens, ref_codes,
+                         src_tokens, style, timbre, key, **kw)
+    small = arvc.generate(cv.arvc_params, cv.cfg.arvc, ref_tokens, ref_codes,
+                          src_tokens, style, timbre, key,
+                          auto_cache_rows=True, **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(small))
