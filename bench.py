@@ -1364,7 +1364,7 @@ def main():
             from streamvoiceanon_tpu.train.step import TrainState, train_step
             from streamvoiceanon_tpu.utils.roofline import device_peaks
 
-            B_TR, T_TR, N_STEPS = 8, 256, 3
+            B_TR, T_TR, N_STEPS = 16, 256, 3
             d = cfg.arvc.decoder
             trng = np.random.default_rng(0)
             batch = jax.device_put({
@@ -1387,19 +1387,32 @@ def main():
             opt = muon_mod.muon_adamw(lr=1e-4)
             st_tr = TrainState(tr_params, opt.init(tr_params),
                                jnp.zeros((), jnp.int32))
+            # sync the relay cannot ack early: HOST-FETCH the loss and a
+            # slice of an updated param leaf (both data-depend on the full
+            # fwd+bwd+optimizer chain; block_until_ready on relay arrays
+            # can return before the update materializes)
+            def _tr_sync(st, aux):
+                leaf = jax.tree.leaves(st.params)[0]
+                return float(aux["loss"]), np.asarray(leaf.ravel()[:8])
+
             t0 = time.time()
             st_tr, aux = train_step(st_tr, batch, cfg.arvc, opt, 2)
-            jax.block_until_ready(aux["loss"])
+            _tr_sync(st_tr, aux)
             compile_tr = time.time() - t0
             log(f"train-step compile+first: {compile_tr:.1f}s")
+            # time K-step chains ending in a fetch: each step's input
+            # depends on the previous update, so the chain cannot pipeline
+            # past itself; per-step = total / K
+            K_TR = 4
             times = []
             for _ in range(N_STEPS):
                 if budget_left() < 60:
                     break
                 t0 = time.perf_counter()
-                st_tr, aux = train_step(st_tr, batch, cfg.arvc, opt, 2)
-                jax.block_until_ready(aux["loss"])
-                times.append(time.perf_counter() - t0)
+                for _ in range(K_TR):
+                    st_tr, aux = train_step(st_tr, batch, cfg.arvc, opt, 2)
+                _tr_sync(st_tr, aux)
+                times.append((time.perf_counter() - t0) / K_TR)
             if times:
                 step_s = float(np.median(times))
                 n_p = int(sum(int(np.prod(x.shape))
@@ -1425,6 +1438,7 @@ def main():
                     "step_ms_spread": [round(min(times) * 1e3, 1),
                                        round(max(times) * 1e3, 1)],
                     "n_steps": len(times),
+                    "protocol": "median of K-step chains, fetch-synced",
                     "frames_per_s": round(B_TR * T_TR / step_s, 0),
                     "audio_s_per_s": round(
                         B_TR * T_TR * FRAME_SECONDS / step_s, 1),

@@ -103,22 +103,37 @@ def main():
             }
             batch = jax.device_put(batch, dev)
             state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+            # sync point that the relay cannot ack early: HOST-FETCH the
+            # loss and a slice of an updated param leaf — both data-depend
+            # on the full fwd+bwd+optimizer chain.  (block_until_ready on
+            # relay-held arrays returns immediately on this transport,
+            # yielding sub-ms phantom step times.)
+            def _sync(state, aux):
+                leaf = jax.tree.leaves(state.params)[0]
+                return float(aux["loss"]), np.asarray(leaf.ravel()[:8])
+
             t0 = time.time()
             try:
                 state, aux = train_step(state, batch, cfg.arvc, opt, args.delay)
-                jax.block_until_ready(aux["loss"])
+                _sync(state, aux)
             except Exception as e:  # noqa: BLE001
                 print(f"B={B} {dt_name}: FAILED ({type(e).__name__}: "
                       f"{str(e)[:160]})", file=sys.stderr)
                 params = jax.device_put(params_np, dev)  # donated buffer gone
                 continue
             compile_s = time.time() - t0
+            # time WHOLE K-step chains ending in a fetch: each step's input
+            # depends on the previous update, so the chain cannot pipeline
+            # past itself; per-step = total / K.  Repeat for spread.
+            K = args.steps
             times = []
-            for _ in range(args.steps):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                state, aux = train_step(state, batch, cfg.arvc, opt, args.delay)
-                jax.block_until_ready(aux["loss"])
-                times.append(time.perf_counter() - t0)
+                for _ in range(K):
+                    state, aux = train_step(state, batch, cfg.arvc, opt,
+                                            args.delay)
+                _sync(state, aux)
+                times.append((time.perf_counter() - t0) / K)
             step_s = float(np.median(times))
             flops = step_flops(cfg.arvc, state.params, B, T, args.delay)
             mfu = (flops / step_s / peak_flops * 100.0) if peak_flops else None
@@ -131,6 +146,7 @@ def main():
                 "step_ms_spread": [round(min(times) * 1e3, 1),
                                    round(max(times) * 1e3, 1)],
                 "n_steps": args.steps,
+                "protocol": "median of 3 K-step chains, fetch-synced",
                 "frames_per_s": round(B * T / step_s, 0),
                 "audio_s_per_s": round(B * T * FRAME_SECONDS / step_s, 1),
                 "model_flops_per_step": flops,

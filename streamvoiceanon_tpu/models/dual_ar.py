@@ -267,8 +267,15 @@ def _run_layers(
     norm_eps: float,
     use_pallas: bool = False,
     unroll: int = 1,
+    remat: bool = False,
 ):
     """lax.scan over stacked layers, threading x and the per-layer caches.
+
+    `remat` rematerializes each layer in the backward pass (training only):
+    without it the scan saves every layer's attention matrix and MLP
+    activations for backward — f32 (L, B, H, T, T) alone is 3 GB at
+    B=16/T=549 and OOMs the chip before batch can amortize the matmuls.
+    Inference paths never differentiate, so the flag costs them nothing.
 
     `unroll` > 1 unrolls the layer loop in the compiled program, letting XLA
     overlap one layer's HBM weight streaming with the previous layer's
@@ -283,6 +290,9 @@ def _run_layers(
             use_pallas=use_pallas,
         )
         return h, new_kv
+
+    if remat:
+        body = jax.checkpoint(body)
 
     if caches is not None:
         x, new_caches = jax.lax.scan(
@@ -566,12 +576,16 @@ def forward_train(
     x, _ = _run_layers(
         params["layers"], emb_seq, freqs, mask, None, None,
         cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
+        remat=True,
     )
-    token_logits = _token_logits(params, cfg, x)  # (B, L, vocab)
 
-    # semantic-token CE at positions S + 2*(delay + f), f in [0, x_len)
+    # semantic-token CE at positions S + 2*(delay + f), f in [0, x_len):
+    # gather the T frame positions BEFORE the vocab projection — logits at
+    # the other L-T positions are never read, and (B, L, vocab) is the
+    # largest activation in the step
     frame_pos = S + 2 * delay + 2 * jnp.arange(T)  # (T,)
-    frame_logits = jnp.take(token_logits, frame_pos, axis=1)  # (B, T, vocab)
+    frame_logits = _token_logits(
+        params, cfg, jnp.take(x, frame_pos, axis=1))  # (B, T, vocab)
     valid = (jnp.arange(T)[None, :] < x_lens[:, None]).astype(jnp.float32)
     logz = jax.nn.logsumexp(frame_logits.astype(jnp.float32), axis=-1)
     tgt_logit = jnp.take_along_axis(
@@ -591,6 +605,7 @@ def forward_train(
     h, _ = _run_layers(
         params["fast_layers"], fast_in, fast_freqs, fmask, None, None,
         cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim, cfg.norm_eps,
+        remat=True,
     )
     h = rms_norm(h, params["fast_norm"]["w"], cfg.norm_eps)
     cb_logits = (h @ params["fast_output"]["w"]).reshape(B, T, nq, cfg.codebook_size)
