@@ -29,6 +29,10 @@ def main():
                          "(one clean window, shared compile cache)")
     ap.add_argument("--frames", type=int, default=64, help="frames per utterance")
     ap.add_argument("--n-model", type=int, default=1)
+    ap.add_argument("--cache-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="decode KV-cache precision (bf16 = the live "
+                         "serving precision, accuracy-gated)")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -60,23 +64,24 @@ def main():
         style = rng.standard_normal((B, 192)).astype(np.float32)
         timbre = rng.standard_normal((B, 32, 128)).astype(np.float32)
 
+        kw = dict(sampling=sampling, delay=2,
+                  cache_dtype=jnp.dtype(args.cache_dtype))
         # warm-up/compile
         t0 = time.time()
-        server.convert(src, ref_tokens, ref_codes, style, timbre,
-                       sampling=sampling, delay=2)
+        server.convert(src, ref_tokens, ref_codes, style, timbre, **kw)
         print(f"B={B}: compile+first batch: {time.time()-t0:.1f}s",
               file=sys.stderr)
 
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            server.convert(src, ref_tokens, ref_codes, style, timbre,
-                           sampling=sampling, delay=2)
+            server.convert(src, ref_tokens, ref_codes, style, timbre, **kw)
             times.append(time.perf_counter() - t0)
         p50 = float(np.median(times))
         audio_s = B * T * spf / 44100.0
         thr = audio_s / p50
-        row = {"batch": B, "frames": T, "p50_s": round(p50, 3),
+        row = {"batch": B, "frames": T, "cache_dtype": args.cache_dtype,
+               "p50_s": round(p50, 3),
                "spread_s": [round(min(times), 3), round(max(times), 3)],
                "n": args.iters,
                "audio_s_per_s": round(thr, 1),

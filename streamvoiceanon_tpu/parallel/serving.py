@@ -37,7 +37,7 @@ def bucket_by_frames(
     return {b: idx for b, idx in out.items() if idx}
 
 
-@functools.partial(jax.jit, static_argnums=(1, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 7, 8, 9))
 def _convert_batch(
     params: Tuple,
     cfg: PipelineConfig,
@@ -48,6 +48,7 @@ def _convert_batch(
     timbre,  # (B, 32, 128)
     sampling: SamplingConfig,
     delay: int,
+    cache_dtype=jnp.float32,
     key=None,
 ):
     tok_params, arvc_params, voc_params = params
@@ -56,6 +57,7 @@ def _convert_batch(
     codes = arvc.generate(
         arvc_params, cfg.arvc, ref_tokens, ref_codes, src_tokens,
         style, timbre, key, sampling, delay,
+        cache_dtype=cache_dtype,
         # right-size the KV cache to the bucket: cache reads dominate the
         # decode scan's HBM traffic and the full 2048-row reference
         # geometry OOMs at batch 128 (2x12-layer f32 caches alone)
@@ -98,8 +100,14 @@ class BatchServer:
         *,
         sampling: SamplingConfig = SamplingConfig(),
         delay: int = 2,
+        cache_dtype=jnp.float32,
         key=None,
     ) -> np.ndarray:
+        """cache_dtype: decode KV-cache precision.  f32 (default) is
+        bit-identical to the unbatched generate path; bf16 halves the
+        dominant cache-read HBM term (the same precision the live serving
+        path runs with, accuracy-gated in benchmarks/bf16_accuracy.py) —
+        worth ~1.2x throughput at large batch (BENCH.md)."""
         B = src_wavs.shape[0]
         n_data = self.mesh.shape["data"]
         # keep inputs HOST-LOCAL (numpy) until the sharded device_put: a
@@ -119,7 +127,8 @@ class BatchServer:
         with self.mesh:
             wav = _convert_batch(
                 self.params, self.cv.cfg, batch["src"], batch["rt"], batch["rc"],
-                batch["st"], batch["tb"], sampling, delay, key,
+                batch["st"], batch["tb"], sampling, delay,
+                jnp.dtype(cache_dtype), key,
             )
         if not wav.is_fully_addressable:  # gather remote shards to every host
             from jax.experimental import multihost_utils
